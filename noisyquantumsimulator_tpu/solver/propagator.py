@@ -1,0 +1,178 @@
+"""Lindblad master-equation propagator engine.
+
+Replaces the reference's per-step QuTiP mesolve loops
+(reference: rydberg_gates/simulation.py:647-2231) with a single batched
+computation:
+
+    1. A pulse schedule is a set of segments (amp_k, phase_k, dt_k).
+    2. Each segment Liouvillian is the linear combination
+           Lmat_k = L0 + amp_k e^{+i phase_k} C+ + amp_k e^{-i phase_k} C-
+       (see ops/lindblad.drive_decomposition) — one broadcasted add.
+    3. All segment propagators exp(Lmat_k dt_k) are computed with ONE
+       batched Pade expm (MXU work).
+    4. The ordered product is contracted in log2(n) batched matmuls.
+    5. The total propagator is applied to all initial states at once.
+
+For the piecewise-constant protocols (LP square, bang-bang) this is *exact*
+(same math the reference solves with an adaptive ODE); for smooth-JP /
+shaped-LP it reproduces the reference's own midpoint piecewise-constant
+discretization (simulation.py:1698-1733, 2196-2221) exactly, segment by
+segment, so parity holds to solver precision.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.expm import chained_product, expm
+
+
+class Schedule(NamedTuple):
+    """Pure-array pulse schedule (pytree; safe to pass through jit/vmap).
+
+    amps   : (n,) drive amplitude scale per segment (1.0 = full Omega)
+    phases : (n,) drive phase per segment [rad]
+    dts    : (n,) segment durations [s]
+    dets   : (n,) or None — extra per-segment detuning [rad/s] applied via
+             the Cd channel (used by optimizers to keep Delta out of L0 so
+             it stays differentiable)
+    """
+    amps: jnp.ndarray
+    phases: jnp.ndarray
+    dts: jnp.ndarray
+    dets: jnp.ndarray | None = None
+
+
+def segment_liouvillians(L0, Cp, Cm, schedule: Schedule, Cd=None):
+    """Stack of per-segment Liouvillian*dt matrices, shape (n, D^2, D^2)."""
+    a = schedule.amps.astype(L0.real.dtype)
+    ph = schedule.phases.astype(L0.real.dtype)
+    dt = schedule.dts.astype(L0.real.dtype)
+    ep = a * jnp.exp(1j * ph)
+    Ls = (L0[None, :, :]
+          + ep[:, None, None] * Cp[None, :, :]
+          + jnp.conj(ep)[:, None, None] * Cm[None, :, :])
+    if schedule.dets is not None and Cd is not None:
+        d = schedule.dets.astype(L0.real.dtype)
+        Ls = Ls + d[:, None, None] * Cd[None, :, :]
+    return Ls * dt[:, None, None]
+
+
+@partial(jax.jit, static_argnames=())
+def total_propagator(L0, Cp, Cm, schedule: Schedule, Cd=None):
+    """exp(L_n dt_n) ... exp(L_1 dt_1) as one (D^2, D^2) matrix."""
+    A = segment_liouvillians(L0, Cp, Cm, schedule, Cd)
+    U = expm(A)
+    return chained_product(U)
+
+
+@partial(jax.jit, static_argnames=())
+def evolve_rhos(L0, Cp, Cm, schedule: Schedule, rho0s, Cd=None):
+    """Evolve a batch of density matrices through the schedule.
+
+    rho0s: (B, D, D) -> (B, D, D)
+    """
+    B, D, _ = rho0s.shape
+    U = total_propagator(L0, Cp, Cm, schedule, Cd)
+    vec = rho0s.reshape(B, D * D)
+    out = vec @ U.T  # (B, D^2) x (D^2, D^2)^T == (U @ vec_b) batched
+    return out.reshape(B, D, D)
+
+
+@partial(jax.jit, static_argnames=())
+def evolve_rhos_trajectory(L0, Cp, Cm, schedule: Schedule, rho0s, Cd=None):
+    """Like evolve_rhos but returns all intermediate states, (n+1, B, D, D).
+    Uses a scan (sequential) since every intermediate is needed."""
+    B, D, _ = rho0s.shape
+    A = segment_liouvillians(L0, Cp, Cm, schedule, Cd)
+    U = expm(A)
+
+    def step(vec, Uk):
+        vec = vec @ Uk.T
+        return vec, vec
+
+    v0 = rho0s.reshape(B, D * D)
+    _, traj = jax.lax.scan(step, v0, U)
+    traj = jnp.concatenate([v0[None], traj], axis=0)
+    return traj.reshape(schedule.dts.shape[0] + 1, B, D, D)
+
+
+# --------------------------------------------------------------------------
+# schedule builders (traced; differentiable in the protocol parameters)
+# --------------------------------------------------------------------------
+
+def lp_square_schedule(xi_phase, tau_single, n_pulses: int = 2) -> Schedule:
+    """Two square pulses; second carries the LP phase jump xi.
+    (simulation.py:693-776). Exact: one segment per pulse."""
+    amps = jnp.ones((2,))
+    phases = jnp.stack([jnp.zeros_like(xi_phase), xi_phase])
+    dts = jnp.full((2,), tau_single)
+    return Schedule(amps, phases, dts)
+
+
+def smooth_jp_schedule(A, omega_mod, phi_offset, tau_total,
+                       n_steps: int = 300) -> Schedule:
+    """Midpoint-sampled sinusoidal phase modulation
+    phi(t) = A cos(omega_mod t - phi_offset); the delta0*t slope is handled
+    as a static detuning in L0, exactly like the reference
+    (simulation.py:1681-1733)."""
+    dt = tau_total / n_steps
+    k = jnp.arange(n_steps)
+    t_mid = (k + 0.5) * dt
+    phases = A * jnp.cos(omega_mod * t_mid - phi_offset)
+    amps = jnp.ones((n_steps,))
+    dts = jnp.full((n_steps,), dt)
+    return Schedule(amps, phases, dts)
+
+
+def bangbang_schedule(switching_times, phases, omega_tau, Omega,
+                      max_segments: int | None = None) -> Schedule:
+    """Piecewise-constant phases; boundaries [0, t_1..t_{N-1}, omega_tau]
+    in dimensionless Omega*t, converted to seconds.
+    (simulation.py:1795-1943). Exact: one segment per phase.
+
+    Zero/negative-length segments get dt=0 (exp(0)=I), which reproduces the
+    reference's dt<1e-18 skip (simulation.py:1902) without dynamic shapes.
+    """
+    switching_times = jnp.asarray(switching_times)
+    phases = jnp.asarray(phases)
+    n_seg = phases.shape[0]
+    zeros = jnp.zeros((1,), dtype=switching_times.dtype)
+    upper = jnp.full((1,), omega_tau, dtype=switching_times.dtype)
+    bounds = jnp.concatenate([zeros, switching_times, upper])
+    dts = jnp.clip(bounds[1:] - bounds[:-1], 0.0, None) / Omega
+    amps = jnp.ones((n_seg,))
+    return Schedule(amps, phases, dts)
+
+
+def shaped_lp_schedule(envelope_fn, xi_phase, tau_single,
+                       n_steps: int = 500) -> Schedule:
+    """Two shaped pulses with midpoint-sampled envelope; the second pulse
+    carries the xi phase. envelope_fn(t_mid) -> amplitude scale.
+    (simulation.py:2099-2231)."""
+    dt = tau_single / n_steps
+    t_mid = (jnp.arange(n_steps) + 0.5) * dt
+    env = envelope_fn(t_mid)
+    amps = jnp.concatenate([env, env])
+    phases = jnp.concatenate([jnp.zeros((n_steps,)),
+                              jnp.full((n_steps,), 1.0) * xi_phase])
+    dts = jnp.full((2 * n_steps,), dt)
+    return Schedule(amps, phases, dts)
+
+
+def concat_schedules(*schedules: Schedule) -> Schedule:
+    return Schedule(
+        jnp.concatenate([s.amps for s in schedules]),
+        jnp.concatenate([s.phases for s in schedules]),
+        jnp.concatenate([s.dts for s in schedules]),
+    )
+
+
+__all__ = [
+    "Schedule", "segment_liouvillians", "total_propagator", "evolve_rhos",
+    "evolve_rhos_trajectory", "lp_square_schedule", "smooth_jp_schedule",
+    "bangbang_schedule", "shaped_lp_schedule", "concat_schedules",
+]

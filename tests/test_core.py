@@ -1,0 +1,137 @@
+"""Golden-value tests for core constants / atom database / configurations.
+
+Mirrors the reference's data (atom_database.py) against literature values.
+"""
+import numpy as np
+import pytest
+
+from noisyquantumsimulator_tpu.core import constants as cst
+from noisyquantumsimulator_tpu.core import atom_data as ad
+from noisyquantumsimulator_tpu.core.configs import (
+    AtomicConfiguration, EnvironmentParameters, LaserParameters,
+    LPSimulationInputs, NoiseSourceConfig, SmoothJPSimulationInputs,
+    TweezerParameters, get_standard_cs133_config, get_standard_rb87_config,
+)
+
+TWO_PI = 2 * np.pi
+
+
+class TestConstants:
+    def test_codata_values(self):
+        assert cst.HBAR == pytest.approx(1.054571817e-34)
+        assert cst.C == 299792458.0
+        assert cst.KB == 1.380649e-23
+        assert cst.RY_EV == pytest.approx(13.6056931, rel=1e-6)
+
+    def test_conversions_roundtrip(self):
+        f = 6.835e9
+        assert cst.energy_to_frequency(cst.frequency_to_energy(f)) == pytest.approx(f)
+        a = 319.0
+        assert cst.si_to_au_polarizability(
+            cst.au_to_si_polarizability(a)) == pytest.approx(a)
+
+    def test_wavelength_to_frequency(self):
+        assert cst.wavelength_to_frequency(780e-9) == pytest.approx(3.843e14, rel=1e-3)
+
+
+class TestAtomDatabase:
+    def test_effective_n(self):
+        # n* = 70 - 3.1311807 (Li et al. quantum defect)
+        assert ad.effective_n(70, "Rb87", "S") == pytest.approx(66.8688193)
+        assert ad.effective_n(70, "Cs133", "S") == pytest.approx(65.9506468)
+
+    def test_c6_reference_value(self):
+        C6 = ad.get_C6(70, "Rb87")
+        assert C6 / (TWO_PI * 1e9 * (1e-6) ** 6) == pytest.approx(862.69, rel=1e-6)
+
+    def test_c6_n11_scaling(self):
+        r = ad.get_C6(80, "Rb87") / ad.get_C6(70, "Rb87")
+        ns80 = ad.effective_n(80, "Rb87")
+        ns70 = ad.effective_n(70, "Rb87")
+        assert r == pytest.approx((ns80 / ns70) ** 11)
+
+    def test_lifetimes(self):
+        assert ad.get_rydberg_lifetime(70, "Rb87", 300.0) == pytest.approx(140e-6, rel=1e-9)
+        assert ad.get_rydberg_lifetime(70, "Rb87", 0.0) == pytest.approx(280e-6)
+        # cryogenic: BBR mostly frozen out
+        assert ad.get_rydberg_lifetime(70, "Rb87", 4.0) > 270e-6
+
+    def test_lifetime_n3_scaling(self):
+        t80 = ad.get_rydberg_lifetime(80, "Rb87", 0.0)
+        t70 = ad.get_rydberg_lifetime(70, "Rb87", 0.0)
+        ns80, ns70 = ad.effective_n(80, "Rb87"), ad.effective_n(70, "Rb87")
+        assert t80 / t70 == pytest.approx((ns80 / ns70) ** 3)
+
+    def test_dipole_scaling(self):
+        d50 = ad.get_dipole_to_rydberg(50, "Rb87")
+        d70 = ad.get_dipole_to_rydberg(70, "Rb87")
+        assert d50 > d70  # coupling stronger at lower n
+
+    def test_rydberg_polarizability_negative(self):
+        assert ad.get_rydberg_polarizability(70, "Rb87") < 0
+
+    def test_hyperfine_splittings(self):
+        assert ad.get_hyperfine_splitting("Rb87") == pytest.approx(6.834682610904e9)
+        assert ad.get_hyperfine_splitting("Cs133") == pytest.approx(9.192631770e9)
+
+    def test_intermediate_linewidth(self):
+        G = ad.get_intermediate_state_linewidth("Rb87", "5P3/2")
+        assert G / TWO_PI == pytest.approx(6.065e6)
+
+    def test_species_comparison(self):
+        # Cs has larger C6 and mass than Rb (reference test_rydberg_noise
+        # TestSpeciesComparison)
+        assert ad.get_C6(70, "Cs133") > ad.get_C6(70, "Rb87")
+        assert ad.get_mass("Cs133") > ad.get_mass("Rb87")
+
+    def test_unknown_species_raises(self):
+        with pytest.raises(ValueError):
+            ad.get_species("Na23")
+
+
+class TestConfigurations:
+    def test_laser_peak_field(self):
+        # E0 = sqrt(4P/(pi w^2 eps0 c)); 1 W into 20 um -> 1.095 MV/m
+        las = LaserParameters(power=1.0, waist=20e-6)
+        assert las.peak_electric_field() == pytest.approx(1.0951e6, rel=1e-3)
+
+    def test_atomic_configuration_derived(self):
+        cfg = get_standard_rb87_config()
+        assert cfg.is_clock_transition
+        assert cfg.n_star == pytest.approx(66.8688193)
+        assert cfg.excitation_wavelength_1_nm == pytest.approx(780.24, rel=1e-3)
+        # second leg ~ 480 nm for Rb
+        assert 470 < cfg.excitation_wavelength_2_nm < 490
+
+    def test_cs_configuration(self):
+        cfg = get_standard_cs133_config()
+        assert cfg.qubit_0 == (3, 0) and cfg.qubit_1 == (4, 0)
+        assert 500 < cfg.excitation_wavelength_2_nm < 525  # ~510 nm
+
+    def test_blockade_radius(self):
+        cfg = get_standard_rb87_config()
+        # R_b = (C6/Omega)^(1/6) with C6 = 2pi x 862.69 GHz um^6 -> 7.46 um
+        Rb = cfg.blockade_radius(TWO_PI * 5e6)
+        assert Rb == pytest.approx(7.4613e-6, rel=1e-3)
+
+    def test_noise_config_toggle(self):
+        off = NoiseSourceConfig.noiseless()
+        assert not off.include_spontaneous_emission
+        assert not off.include_laser_dephasing
+        on = NoiseSourceConfig.full()
+        assert on.include_doppler_dephasing
+
+    def test_protocol_input_names(self):
+        assert LPSimulationInputs().protocol_name == "levine_pichler"
+        assert LPSimulationInputs().n_pulses == 2
+        assert SmoothJPSimulationInputs().protocol_name == "smooth_jp"
+
+    def test_environment_thermal_velocity(self):
+        env = EnvironmentParameters(temperature=20e-6)
+        v = env.thermal_velocity(ad.get_mass("Rb87"))
+        assert v == pytest.approx(0.0437, rel=1e-2)  # ~4.4 cm/s
+
+    def test_tweezer_geometry(self):
+        tw = TweezerParameters()
+        assert tw.diffraction_limited_waist() < tw.waist * 2
+        assert tw.rayleigh_range() > tw.waist

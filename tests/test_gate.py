@@ -1,0 +1,236 @@
+"""Gate-level property tests, mirroring the reference physics suite
+(test_rydberg_noise_physics.py): noise-free ~ ideal; each degradation causes
+major, isolated, directionally-correct fidelity loss.
+"""
+import numpy as np
+import pytest
+
+from noisyquantumsimulator_tpu.core.configs import (
+    JPSimulationInputs, LaserParameters, LPSimulationInputs,
+    NoiseSourceConfig, SmoothJPSimulationInputs, TwoPhotonExcitationConfig)
+from noisyquantumsimulator_tpu.gate.simulate import simulate_cz_gate
+
+
+def noiseless(inputs_cls, **kw):
+    return inputs_cls(noise=NoiseSourceConfig.noiseless(), **kw)
+
+
+# Protocol-physics fixtures blank the trap (trap_laser_on=False): the
+# reference's >99.9% protocol claims are for bare (Omega, V, Delta) dynamics;
+# with the trap on, the ~200 kHz qubit Stark shift adds a real ~10 deg
+# controlled-phase error that the reference's sign-only phase extraction
+# could not detect (see gate/fidelity.py docstring).
+@pytest.fixture(scope="module")
+def smooth_noiseless_result():
+    return simulate_cz_gate(noiseless(SmoothJPSimulationInputs),
+                            include_noise=False, trap_laser_on=False)
+
+
+@pytest.fixture(scope="module")
+def smooth_noisy_result():
+    return simulate_cz_gate(SmoothJPSimulationInputs())
+
+
+class TestNoiseBaseline:
+    """(test_rydberg_noise_physics.py:195)"""
+
+    def test_noise_free_high_fidelity(self, smooth_noiseless_result):
+        assert smooth_noiseless_result.avg_fidelity > 0.999
+
+    def test_noise_strictly_lowers_fidelity(self, smooth_noiseless_result,
+                                            smooth_noisy_result):
+        assert smooth_noisy_result.avg_fidelity < smooth_noiseless_result.avg_fidelity
+
+    def test_controlled_phase_is_pi(self, smooth_noiseless_result):
+        assert smooth_noiseless_result.phase_info["phase_error_from_pi_deg"] < 3.0
+
+
+class TestProtocols:
+    """(test_rydberg_noise_physics.py:792) — all protocols work."""
+
+    def test_lp_square_noiseless(self):
+        r = simulate_cz_gate(noiseless(LPSimulationInputs), include_noise=False,
+                             trap_laser_on=False)
+        assert r.avg_fidelity > 0.999
+        assert r.n_pulses == 2
+        assert r.protocol == "levine_pichler"
+
+    def test_smooth_jp_across_blockade_regimes(self):
+        # validated claim: >99.9% for V/Omega in [10, 200] (protocols.py:467)
+        for spacing, fmin in ((2.95, 0.9995), (4.0, 0.9995), (4.8, 0.995)):
+            r = simulate_cz_gate(noiseless(SmoothJPSimulationInputs),
+                                 include_noise=False, spacing_factor=spacing,
+                                 trap_laser_on=False)
+            assert 8 < r.V_over_Omega < 500
+            assert r.avg_fidelity > fmin, \
+                f"V/Omega={r.V_over_Omega:.0f}: F={r.avg_fidelity}"
+
+    def test_bangbang_five_segment(self):
+        r = simulate_cz_gate(noiseless(JPSimulationInputs), include_noise=False,
+                             spacing_factor=2.945, trap_laser_on=False)
+        # validated: ~95%+ fidelity near V/Omega=200 with -180 deg phase
+        assert 150 < r.V_over_Omega < 250
+        assert r.avg_fidelity > 0.90
+        assert abs(abs(r.phase_info["controlled_phase_deg"]) - 180) < 15
+
+    def test_bangbang_switching_times_matter(self):
+        """Regression for the reference's historical routing bug
+        (tests/test_jp_bangbang_investigation.py): different switching
+        times MUST give different fidelities."""
+        r1 = simulate_cz_gate(noiseless(JPSimulationInputs), include_noise=False,
+                              trap_laser_on=False)
+        r2 = simulate_cz_gate(
+            noiseless(JPSimulationInputs,
+                      switching_times=[3.0, 9.5, 14.0, 20.5]),
+            include_noise=False, trap_laser_on=False)
+        assert abs(r1.avg_fidelity - r2.avg_fidelity) > 1e-4
+
+    def test_bangbang_differs_from_smooth(self):
+        r_bb = simulate_cz_gate(noiseless(JPSimulationInputs), include_noise=False)
+        r_sm = simulate_cz_gate(noiseless(SmoothJPSimulationInputs), include_noise=False)
+        assert abs(r_bb.avg_fidelity - r_sm.avg_fidelity) > 1e-4
+
+    def test_lp_shaped_pulses(self):
+        for shape in ("gaussian", "cosine", "blackman"):
+            r = simulate_cz_gate(noiseless(LPSimulationInputs, pulse_shape=shape),
+                                 include_noise=False)
+            # shaped pulses distort the LP interference; fidelity stays
+            # CZ-like but structure must run and stay physical
+            assert 0.4 < r.avg_fidelity <= 1.0
+            assert r.pulse_info["shape"] == shape
+
+
+class TestTemperatureSensitivity:
+    """(test_rydberg_noise_physics.py:253)"""
+
+    def test_fidelity_monotonic_in_temperature(self):
+        fids = []
+        for T in (2e-6, 20e-6, 100e-6):
+            r = simulate_cz_gate(SmoothJPSimulationInputs(), temperature=T)
+            fids.append(r.avg_fidelity)
+        assert fids[0] > fids[1] > fids[2]
+
+    def test_thermal_rate_grows_with_temperature(self):
+        r1 = simulate_cz_gate(SmoothJPSimulationInputs(), temperature=2e-6)
+        r2 = simulate_cz_gate(SmoothJPSimulationInputs(), temperature=50e-6)
+        assert (r2.noise_breakdown["gamma_thermal_total"]
+                > r1.noise_breakdown["gamma_thermal_total"])
+
+
+class TestLaserParameters:
+    """(test_rydberg_noise_physics.py:385)"""
+
+    def _with_linewidth(self, lw):
+        exc = TwoPhotonExcitationConfig(
+            laser_1=LaserParameters(power=50e-6, waist=50e-6, linewidth_hz=lw),
+            laser_2=LaserParameters(power=500e-3, waist=50e-6, linewidth_hz=lw))
+        return SmoothJPSimulationInputs(excitation=exc)
+
+    def test_linewidth_degrades_fidelity(self):
+        r_good = simulate_cz_gate(self._with_linewidth(100.0))
+        r_bad = simulate_cz_gate(self._with_linewidth(100e3))
+        assert r_bad.avg_fidelity < r_good.avg_fidelity
+
+    def test_power_sets_gate_time(self):
+        exc_hi = TwoPhotonExcitationConfig(
+            laser_2=LaserParameters(power=1.0, waist=50e-6))
+        exc_lo = TwoPhotonExcitationConfig(
+            laser_2=LaserParameters(power=0.25, waist=50e-6))
+        r_hi = simulate_cz_gate(SmoothJPSimulationInputs(excitation=exc_hi))
+        r_lo = simulate_cz_gate(SmoothJPSimulationInputs(excitation=exc_lo))
+        # Omega ~ sqrt(P2): doubling power ratio 4 halves gate time
+        assert r_hi.tau_total == pytest.approx(r_lo.tau_total / 2, rel=1e-6)
+
+    def test_detuning_reduces_scattering(self):
+        exc_near = TwoPhotonExcitationConfig(Delta_e=2 * np.pi * 0.5e9)
+        exc_far = TwoPhotonExcitationConfig(Delta_e=2 * np.pi * 5e9)
+        r_near = simulate_cz_gate(SmoothJPSimulationInputs(excitation=exc_near))
+        r_far = simulate_cz_gate(SmoothJPSimulationInputs(excitation=exc_far))
+        assert (r_far.noise_breakdown["gamma_scatter_intermediate"]
+                < r_near.noise_breakdown["gamma_scatter_intermediate"])
+
+
+class TestRydbergStateEffects:
+    """(test_rydberg_noise_physics.py:481)"""
+
+    def test_blockade_grows_with_n(self):
+        r60 = simulate_cz_gate(SmoothJPSimulationInputs(), n_rydberg=60)
+        r80 = simulate_cz_gate(SmoothJPSimulationInputs(), n_rydberg=80)
+        assert r80.V > r60.V
+
+    def test_decay_rate_same_ref_lifetime(self):
+        r = simulate_cz_gate(SmoothJPSimulationInputs(), n_rydberg=70)
+        assert r.noise_breakdown["gamma_r"] == pytest.approx(1 / 140e-6, rel=1e-6)
+
+
+class TestSpacingBlockade:
+    """(test_rydberg_noise_physics.py:562)"""
+
+    def test_blockade_r6(self):
+        r1 = simulate_cz_gate(SmoothJPSimulationInputs(), spacing_factor=2.8)
+        r2 = simulate_cz_gate(SmoothJPSimulationInputs(), spacing_factor=5.6)
+        assert r1.V / r2.V == pytest.approx(2 ** 6, rel=1e-6)
+
+
+class TestResultStructure:
+    """(test_rydberg_noise_physics.py:918) — result completeness."""
+
+    def test_all_fields(self, smooth_noisy_result):
+        r = smooth_noisy_result
+        assert set(r.fidelities) == {"00", "01", "10", "11"}
+        for key in ("controlled_phase_deg", "cz_phase_fidelity",
+                    "phase_error_from_pi_deg", "pop_11"):
+            assert key in r.phase_info
+        nb = r.noise_breakdown
+        for key in ("gamma_r", "gamma_phi_laser", "gamma_thermal_total",
+                    "total_decay_rate", "total_dephasing_rate",
+                    "n_collapse_ops"):
+            assert key in nb
+        assert nb["n_collapse_ops"] > 0
+        assert r.gate_time_us > 0
+        assert r.U0_mK > 0
+
+    def test_breakdown_totals_consistent(self, smooth_noisy_result):
+        nb = smooth_noisy_result.noise_breakdown
+        assert nb["total_dephasing_rate"] == pytest.approx(
+            nb["gamma_phi_laser"] + nb["gamma_phi_thermal"]
+            + nb["gamma_phi_zeeman"], rel=1e-9)
+
+    def test_print_summary_runs(self, smooth_noisy_result, capsys):
+        smooth_noisy_result.print_summary()
+        out = capsys.readouterr().out
+        assert "CZ GATE SIMULATION RESULTS" in out
+
+
+class TestSpeciesComparison:
+    """(test_rydberg_noise_physics.py:943)"""
+
+    def test_cs_stronger_blockade(self):
+        r_rb = simulate_cz_gate(SmoothJPSimulationInputs(), species="Rb87")
+        from noisyquantumsimulator_tpu.core.configs import get_standard_cs133_config
+        r_cs = simulate_cz_gate(SmoothJPSimulationInputs(),
+                                config=get_standard_cs133_config())
+        # same geometry: Cs C6 is larger
+        assert r_cs.V > r_rb.V
+
+
+class TestClockVsNonClock:
+    """(test_rydberg_noise_physics.py:1041)"""
+
+    def test_nonclock_more_b_sensitive(self):
+        r_clock = simulate_cz_gate(SmoothJPSimulationInputs(),
+                                   qubit_0=(1, 0), qubit_1=(2, 0),
+                                   B_field=5e-4)
+        r_str = simulate_cz_gate(SmoothJPSimulationInputs(),
+                                 qubit_0=(1, 1), qubit_1=(2, 2),
+                                 B_field=5e-4)
+        assert abs(r_str.delta_zeeman) > 100 * abs(r_clock.delta_zeeman)
+
+
+class TestFourLevel:
+    def test_dim4_runs_and_close_to_dim3(self):
+        r3 = simulate_cz_gate(SmoothJPSimulationInputs(), hilbert_space_dim=3)
+        r4 = simulate_cz_gate(SmoothJPSimulationInputs(), hilbert_space_dim=4)
+        assert r4.hilbert_space_dim == 4
+        # with pure sigma+ polarization the extra level is a spectator
+        assert abs(r4.avg_fidelity - r3.avg_fidelity) < 0.05

@@ -1,0 +1,158 @@
+"""Solver-level tests: expm kernel, Liouvillian structure, zvode parity.
+
+The 1e-8 mesolve-parity north star (BASELINE.md) is enforced here against an
+independent zvode oracle at the reference tolerances (atol 1e-10, rtol 1e-8).
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.linalg import expm as scipy_expm
+
+from noisyquantumsimulator_tpu.core.constants import TWO_PI
+from noisyquantumsimulator_tpu.ops.expm import chained_product, expm
+from noisyquantumsimulator_tpu.ops.hilbert import HS3, two_atom_kets, kets_to_density
+from noisyquantumsimulator_tpu.ops.hamiltonians import (
+    build_full_hamiltonian, drive_operator)
+from noisyquantumsimulator_tpu.ops.lindblad import (
+    build_all_noise_operators, dissipator_superop, drive_decomposition,
+    hamiltonian_superop, liouvillian, static_hamiltonian)
+from noisyquantumsimulator_tpu.solver.propagator import (
+    Schedule, evolve_rhos, lp_square_schedule, total_propagator)
+from noisyquantumsimulator_tpu.solver.reference import (
+    liouvillian_np, mesolve_zvode, sesolve_zvode)
+from noisyquantumsimulator_tpu.gate.fidelity import mixed_state_fidelity
+
+
+class TestExpm:
+    def test_vs_scipy_batched(self, rng):
+        A = rng.normal(size=(6, 12, 12)) + 1j * rng.normal(size=(6, 12, 12))
+        A *= np.array([0.01, 0.5, 2, 5, 10, 20])[:, None, None]
+        ours = np.asarray(expm(jnp.asarray(A)))
+        ref = np.stack([scipy_expm(a) for a in A])
+        err = np.abs(ours - ref) / np.maximum(np.abs(ref), 1.0)
+        assert err.max() < 1e-11
+
+    def test_identity(self):
+        Z = jnp.zeros((4, 4), dtype=jnp.complex128)
+        assert np.allclose(np.asarray(expm(Z)), np.eye(4))
+
+    def test_chained_product_order(self, rng):
+        U = rng.normal(size=(9, 3, 3)) + 1j * rng.normal(size=(9, 3, 3))
+        got = np.asarray(chained_product(jnp.asarray(U)))
+        want = np.eye(3, dtype=complex)
+        for u in U:
+            want = u @ want
+        assert np.allclose(got, want, atol=1e-10)
+
+
+class TestLiouvillianStructure:
+    def _setup(self):
+        Om = TWO_PI * 5e6
+        H = build_full_hamiltonian(Om, 0.377 * Om, 100 * Om, HS3)
+        c_ops, _ = build_all_noise_operators(
+            hs=HS3, gamma_r=7e3, gamma_phi_laser=1e3,
+            gamma_scatter_intermediate=500.0, gamma_loss_antitrap=2e3)
+        return H, c_ops
+
+    def test_hamiltonian_superop_is_antihermitian_action(self):
+        H, _ = self._setup()
+        L = hamiltonian_superop(H)
+        # trace preservation: vec(I)^T L = 0
+        D = H.shape[0]
+        vecI = np.eye(D).reshape(-1)
+        assert np.abs(vecI @ L).max() < 1e-6 * np.abs(L).max()
+
+    def test_dissipator_trace_preserving(self):
+        H, c_ops = self._setup()
+        L = liouvillian(H, c_ops)
+        D = H.shape[0]
+        vecI = np.eye(D).reshape(-1)
+        assert np.abs(vecI @ L).max() < 1e-6 * np.abs(L).max()
+
+    def test_matches_reference_liouvillian(self):
+        H, c_ops = self._setup()
+        from noisyquantumsimulator_tpu.ops.lindblad import (
+            dissipator_superop, hamiltonian_superop)
+        ours = hamiltonian_superop(H) + dissipator_superop(c_ops, H.shape[0])
+        ref = liouvillian_np(H, c_ops)
+        assert np.allclose(ours, ref)
+
+    def test_drive_decomposition_reconstructs_hamiltonian(self):
+        Om = TWO_PI * 5e6
+        H0 = static_hamiltonian(HS3, 0.377 * Om, 100 * Om)
+        L0, Cp, Cm = drive_decomposition(HS3, Om, H0, [])
+        phi = 0.7
+        Lfull = L0 + np.exp(1j * phi) * Cp + np.exp(-1j * phi) * Cm
+        S = drive_operator(HS3)
+        Hfull = H0 + 0.5 * Om * (np.exp(1j * phi) * S
+                                 + np.exp(-1j * phi) * S.conj().T)
+        assert np.allclose(Lfull, liouvillian_np(Hfull, []))
+
+
+class TestPropagatorParity:
+    """The north-star check: expm propagator vs zvode at reference tolerances."""
+
+    def _lp_setup(self, noisy):
+        Om = TWO_PI * 5e6
+        Delta = 0.377371 * Om
+        V = 200 * Om
+        tau = 4.29268 / Om
+        H0 = static_hamiltonian(HS3, Delta, V)
+        if noisy:
+            c_ops, _ = build_all_noise_operators(
+                hs=HS3, gamma_r=7.1e3, gamma_bbr=3.5e3, gamma_phi_laser=3e3,
+                gamma_phi_thermal=2e3, gamma_scatter_intermediate=1.5e3,
+                gamma_loss_antitrap=5e3, gamma_loss_background=1e3)
+        else:
+            c_ops = []
+        L0, Cp, Cm = drive_decomposition(HS3, Om, H0, c_ops)
+        from noisyquantumsimulator_tpu.physics.protocols import compute_phase_shift_xi
+        xi = complex(np.asarray(compute_phase_shift_xi(Delta, Om, tau)))
+        sched = lp_square_schedule(jnp.asarray(np.angle(xi)), jnp.asarray(tau))
+        S = drive_operator(HS3)
+        H1 = H0 + 0.5 * Om * (S + S.conj().T)
+        H2 = H0 + 0.5 * Om * (xi * S + np.conj(xi) * S.conj().T)
+        return L0, Cp, Cm, sched, c_ops, [H1, H2], [tau, tau]
+
+    @pytest.mark.parametrize("noisy", [False, True])
+    def test_lp_square_parity_1e8(self, noisy):
+        L0, Cp, Cm, sched, c_ops, Hsegs, dts = self._lp_setup(noisy)
+        kets = two_atom_kets(HS3)
+        rho0s = jnp.asarray(np.stack([kets_to_density(kets[k])
+                                      for k in ("00", "01", "10", "11")]))
+        ours = np.asarray(evolve_rhos(jnp.asarray(L0), jnp.asarray(Cp),
+                                      jnp.asarray(Cm), sched, rho0s))
+        for i, k in enumerate(("01", "11")):
+            # tight-tolerance oracle so its own error stays below 1e-8
+            ref = mesolve_zvode(Hsegs, dts, kets_to_density(kets[k]), c_ops,
+                                atol=1e-13, rtol=1e-12)
+            F = float(mixed_state_fidelity(jnp.asarray(ours[["00", "01", "10", "11"].index(k)]),
+                                           jnp.asarray(ref)))
+            assert abs(1.0 - F) < 1e-8, f"state {k}: 1-F = {1 - F:.2e}"
+
+    def test_noiseless_matches_sesolve(self):
+        L0, Cp, Cm, sched, c_ops, Hsegs, dts = self._lp_setup(False)
+        kets = two_atom_kets(HS3)
+        rho0 = jnp.asarray(kets_to_density(kets["11"])[None])
+        rho_out = np.asarray(evolve_rhos(jnp.asarray(L0), jnp.asarray(Cp),
+                                         jnp.asarray(Cm), sched, rho0))[0]
+        psi = sesolve_zvode(Hsegs, dts, kets["11"], atol=1e-13, rtol=1e-12)
+        F = float(np.real(psi.conj() @ rho_out @ psi))
+        assert abs(1.0 - F) < 1e-8
+
+    def test_trace_preservation(self):
+        L0, Cp, Cm, sched, c_ops, _, _ = self._lp_setup(True)
+        kets = two_atom_kets(HS3)
+        rho0s = jnp.asarray(np.stack([kets_to_density(kets[k])
+                                      for k in ("00", "01", "10", "11")]))
+        out = np.asarray(evolve_rhos(jnp.asarray(L0), jnp.asarray(Cp),
+                                     jnp.asarray(Cm), sched, rho0s))
+        traces = np.trace(out, axis1=-2, axis2=-1)
+        assert np.allclose(traces, 1.0, atol=1e-9)
+
+    def test_propagator_unitality_noiseless(self):
+        L0, Cp, Cm, sched, *_ = self._lp_setup(False)
+        U = np.asarray(total_propagator(jnp.asarray(L0), jnp.asarray(Cp),
+                                        jnp.asarray(Cm), sched))
+        # noiseless superoperator propagator is unitary
+        assert np.allclose(U @ U.conj().T, np.eye(U.shape[0]), atol=1e-8)
