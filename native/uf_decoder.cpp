@@ -1,0 +1,151 @@
+// Native matching decoder for the QEC layer.
+//
+// Host-side counterpart of qec/decoders.MatchingDecoder: consumes the same
+// precomputed all-pairs shortest-path distance / observable-parity tables
+// and decodes batches of syndromes with greedy minimum-weight pairing plus
+// a 2-opt refinement pass (closer to exact MWPM than pure greedy).
+//
+// Exposed via a C ABI for ctypes (no pybind11 dependency).
+//
+// Build: make -C native   (produces libufdecode.so)
+
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr double kInf = std::numeric_limits<double>::infinity();
+
+struct Ctx {
+    int n_nodes;                 // detectors + 1 boundary (index n_nodes-1)
+    std::vector<double> dist;    // (n_nodes * n_nodes)
+    std::vector<int32_t> parity; // (n_nodes * n_nodes)
+
+    inline double D(int a, int b) const { return dist[a * n_nodes + b]; }
+    inline int P(int a, int b) const { return parity[a * n_nodes + b]; }
+};
+
+// Greedy min-weight pairing over effective costs
+// (direct path vs both-to-boundary), then 2-opt improvement.
+int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det) {
+    const int B = ctx.n_nodes - 1;
+    std::vector<int> defects;
+    defects.reserve(16);
+    for (int i = 0; i < n_det; ++i)
+        if (det_row[i]) defects.push_back(i);
+
+    const int k = static_cast<int>(defects.size());
+    if (k == 0) return 0;
+
+    // partner[i] = index into defects, or -1 for boundary
+    std::vector<int> partner(k, -2);
+    std::vector<char> used(k, 0);
+
+    auto eff_cost = [&](int a, int b) {
+        double direct = ctx.D(defects[a], defects[b]);
+        double via = ctx.D(defects[a], B) + ctx.D(defects[b], B);
+        return direct <= via ? direct : via;
+    };
+
+    int remaining = k;
+    while (remaining >= 2) {
+        double best = kInf;
+        int bi = -1, bj = -1;
+        for (int i = 0; i < k; ++i) {
+            if (used[i]) continue;
+            for (int j = i + 1; j < k; ++j) {
+                if (used[j]) continue;
+                double c = eff_cost(i, j);
+                if (c < best) { best = c; bi = i; bj = j; }
+            }
+        }
+        if (bi < 0) break;
+        partner[bi] = bj;
+        partner[bj] = bi;
+        used[bi] = used[bj] = 1;
+        remaining -= 2;
+    }
+    for (int i = 0; i < k; ++i)
+        if (!used[i]) { partner[i] = -1; used[i] = 1; }
+
+    // 2-opt: try re-pairing (a,b),(c,d) -> (a,c),(b,d) or (a,d),(b,c)
+    bool improved = true;
+    int rounds = 0;
+    while (improved && rounds++ < 8) {
+        improved = false;
+        for (int a = 0; a < k; ++a) {
+            int b = partner[a];
+            if (b < a) continue;  // visit each pair once; skip boundary(-1)
+            for (int c = a + 1; c < k; ++c) {
+                if (c == b) continue;
+                int d = partner[c];
+                if (d >= 0 && d < c) continue;
+                double cur = (b >= 0 ? eff_cost(a, b) : ctx.D(defects[a], B))
+                           + (d >= 0 ? eff_cost(c, d) : ctx.D(defects[c], B));
+                // swap 1: (a,c) + (b,d)
+                double alt1 = eff_cost(a, c)
+                            + ((b >= 0 && d >= 0) ? eff_cost(b, d)
+                               : (b >= 0 ? ctx.D(defects[b], B)
+                                         : (d >= 0 ? ctx.D(defects[d], B) : 0.0)));
+                if (alt1 + 1e-12 < cur) {
+                    partner[a] = c; partner[c] = a;
+                    if (b >= 0 && d >= 0) { partner[b] = d; partner[d] = b; }
+                    else if (b >= 0) partner[b] = -1;
+                    else if (d >= 0) partner[d] = -1;
+                    improved = true;
+                    break;
+                }
+            }
+        }
+    }
+
+    // accumulate observable parity
+    int par = 0;
+    std::vector<char> counted(k, 0);
+    for (int i = 0; i < k; ++i) {
+        if (counted[i]) continue;
+        int j = partner[i];
+        if (j < 0) {
+            par ^= ctx.P(defects[i], B);
+            counted[i] = 1;
+        } else {
+            double direct = ctx.D(defects[i], defects[j]);
+            double via = ctx.D(defects[i], B) + ctx.D(defects[j], B);
+            if (direct <= via)
+                par ^= ctx.P(defects[i], defects[j]);
+            else
+                par ^= ctx.P(defects[i], B) ^ ctx.P(defects[j], B);
+            counted[i] = counted[j] = 1;
+        }
+    }
+    return par & 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque context handle.
+void* uf_create(int n_nodes, const double* dist, const int32_t* parity) {
+    Ctx* ctx = new Ctx();
+    ctx->n_nodes = n_nodes;
+    ctx->dist.assign(dist, dist + static_cast<size_t>(n_nodes) * n_nodes);
+    ctx->parity.assign(parity,
+                       parity + static_cast<size_t>(n_nodes) * n_nodes);
+    return ctx;
+}
+
+void uf_destroy(void* handle) { delete static_cast<Ctx*>(handle); }
+
+// dets: (shots, n_det) row-major uint8; out: (shots,) uint8 logical flips.
+void uf_decode_batch(void* handle, const uint8_t* dets, int shots, int n_det,
+                     uint8_t* out) {
+    const Ctx& ctx = *static_cast<Ctx*>(handle);
+    for (int s = 0; s < shots; ++s)
+        out[s] = static_cast<uint8_t>(
+            decode_one(ctx, dets + static_cast<size_t>(s) * n_det, n_det));
+}
+
+}  // extern "C"

@@ -80,7 +80,10 @@ def compute_cz_fidelity(rhos: jnp.ndarray, kets: Dict[str, np.ndarray],
     (simulation.py:225-633).
     """
     order = ["00", "01", "10", "11"]
-    targets = jnp.stack([jnp.asarray(kets[k]) for k in order])  # (4, D)
+    # computational kets are real; keep the jit constants real so no complex
+    # buffer crosses the host->device boundary (axon backend limitation)
+    targets = jnp.stack([jnp.asarray(np.real(np.asarray(kets[k])))
+                         for k in order])  # (4, D)
     D = targets.shape[-1]
     dim = int(round(np.sqrt(D)))
 

@@ -567,19 +567,24 @@ def plan_cz_gate(
 # execution (steps 10-11, jitted)
 # =============================================================================
 
-def run_plan(plan: GatePlan, dtype=jnp.complex128):
+def run_plan(plan: GatePlan, dtype=None):
     """Evolve all four basis states and analyze. Returns
     (fidelities, avg_fidelity, phase_info, rhos_out)."""
-    L0 = jnp.asarray(plan.L0, dtype=dtype)
-    Cp = jnp.asarray(plan.Cp, dtype=dtype)
-    Cm = jnp.asarray(plan.Cm, dtype=dtype)
-    rho0s = jnp.asarray(plan.rho0s, dtype=dtype)
+    if dtype is None:
+        dtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    # cast on host: device-side complex down-conversion is unimplemented
+    # on some TPU backends
+    ndt = np.dtype(jnp.dtype(dtype).name)
+    L0 = jnp.asarray(np.asarray(plan.L0, ndt))
+    Cp = jnp.asarray(np.asarray(plan.Cp, ndt))
+    Cm = jnp.asarray(np.asarray(plan.Cm, ndt))
+    rho0s = jnp.asarray(np.asarray(plan.rho0s, ndt))
     rhos = evolve_rhos(L0, Cp, Cm, plan.schedule, rho0s)
     fids, avg, phase_info = compute_cz_fidelity(rhos, plan.kets)
     return fids, avg, phase_info, rhos
 
 
-def simulate_cz_gate(simulation_inputs: SimInputs, dtype=jnp.complex128,
+def simulate_cz_gate(simulation_inputs: SimInputs, dtype=None,
                      **kwargs) -> GateResult:
     """Full pipeline: plan + run + package. Mirrors
     simulate_CZ_gate (simulation.py:2534)."""

@@ -1,0 +1,1 @@
+from . import expm, hamiltonians, hilbert, lindblad  # noqa: F401

@@ -47,10 +47,12 @@ class FixedProblem:
 
 def build_fixed_problem(apparatus: ApparatusConstraints,
                         noise_cfg, include_noise: bool = True,
-                        dtype=jnp.complex128) -> FixedProblem:
+                        dtype=None) -> FixedProblem:
     """Plan once with Delta=0 in L0; detuning is applied per-segment via Cd."""
     from ..ops.lindblad import hamiltonian_superop_linear
     from ..ops.hilbert import HS3, sym_two_atom
+    if dtype is None:
+        dtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
 
     si = SmoothJPSimulationInputs(excitation=apparatus.make_excitation_config(),
                                   noise=noise_cfg)

@@ -1,0 +1,1 @@
+from . import laser, noise_rates, protocols, pulses, trap  # noqa: F401

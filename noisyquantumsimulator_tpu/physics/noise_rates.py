@@ -8,8 +8,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, asdict
 
+# HOST-SIDE MODULE: numpy on purpose (see physics/trap.py note).
 import numpy as np
-import jax.numpy as jnp
+import numpy as jnp  # noqa: F401
 
 from ..core.constants import HBAR, KB, MU_B, TWO_PI
 from .laser import intermediate_state_scattering_rate  # re-export path parity

@@ -7,8 +7,12 @@ trap->rates pipeline consumed by gate/plan.py.
 """
 from __future__ import annotations
 
+# HOST-SIDE MODULE: intentionally numpy, not jax.numpy. SI-unit inputs
+# (polarizabilities ~1e-39 C^2 m^2/J, C6 ~1e-57 (rad/s) m^6) underflow /
+# flush-to-zero in float32, so trap planning must always run in f64 on the
+# host. The traced (device) path consumes only the resulting *rates*.
 import numpy as np
-import jax.numpy as jnp
+import numpy as jnp  # noqa: F401 — see module note above
 
 from ..core.constants import A0, C, EPS0, HBAR, KB, MU_B, TWO_PI
 from ..core.atom_data import SpeciesData, get_species, get_C6, get_rydberg_lifetime
@@ -160,7 +164,7 @@ def atom_loss_probability(gate_time, U0, alpha_ratio, mass, waist, temperature,
         # NOTE: intentional fix vs the reference (trap_physics.py:978), whose
         # 1 - exp(-(c/sigma)^2/2) DECREASES with spreading — inverted
         # asymptotics. This erfc form is monotonic in sigma as physics demands.
-        from jax.scipy.special import erfc
+        from scipy.special import erfc
         P = erfc(capture_range / (jnp.sqrt(2.0) * jnp.maximum(final_sigma, 1e-30)))
         P = jnp.where((omega_anti > 0) & (t_r > 0), P, 0.0)
     else:

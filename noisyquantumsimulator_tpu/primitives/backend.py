@@ -1,0 +1,85 @@
+"""NeutralAtomBackend: the bundle of Layer-1 primitives for one apparatus.
+
+The reference specifies (primitives/__init__.py:1-24) a hardware-abstracted
+operation API that "consumes outputs from the micro-physics layer"; this
+class is that consumer: it loads (or generates) Layer-0 calibration and
+exposes Move / SingleQubitGate / TwoQubitGate / Measure / Cool / Idle with
+consistent parameters.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core.constants import TWO_PI
+from ..channels.calibration import (CalibrationRecord, CalibrationStore,
+                                    calibrate_cz)
+from .base import (CoolResult, GateResult, IdleResult, MeasureResult,
+                   MoveResult)
+from .gates import SingleQubitGate, TwoQubitGate
+from .motion import Cool, Idle, Measure, Move
+
+
+@dataclass
+class NeutralAtomBackend:
+    species: str = "Rb87"
+    n_rydberg: int = 70
+    trap_frequency: float = TWO_PI * 100e3
+    trap_depth_K: float = 1e-3
+    cz_calibration: Optional[CalibrationRecord] = None
+    calibration_store: Optional[CalibrationStore] = None
+    cz_regime: str = "n70_smooth_jp_default"
+    T1: float = 4.0
+    T2: float = 1.0
+
+    def __post_init__(self):
+        if self.cz_calibration is None:
+            if self.calibration_store is not None:
+                try:
+                    self.cz_calibration = self.calibration_store.load(
+                        "neutral_atoms", "rydberg_cz", self.cz_regime)
+                except FileNotFoundError:
+                    self.cz_calibration = calibrate_cz(
+                        regime=self.cz_regime, store=self.calibration_store,
+                        species=self.species, n_rydberg=self.n_rydberg)
+            else:
+                self.cz_calibration = calibrate_cz(
+                    regime=self.cz_regime, species=self.species,
+                    n_rydberg=self.n_rydberg)
+
+        self.single_qubit = SingleQubitGate()
+        self.two_qubit = TwoQubitGate(calibration=self.cz_calibration,
+                                      single_qubit=self.single_qubit)
+        self.move = Move(species=self.species,
+                         trap_frequency=self.trap_frequency,
+                         trap_depth_K=self.trap_depth_K)
+        self.cool = Cool(species=self.species,
+                         trap_frequency=self.trap_frequency)
+        self.idle = Idle(T1=self.T1, T2=self.T2)
+        self.measure = Measure()
+
+    # convenience one-liners
+    def cz(self, q1: int = 0, q2: int = 1) -> GateResult:
+        return self.two_qubit(q1, q2, "cz")
+
+    def rx(self, q: int, angle: float) -> GateResult:
+        return self.single_qubit(q, "rx", angle=angle)
+
+    def rz(self, q: int, angle: float) -> GateResult:
+        return self.single_qubit(q, "rz", angle=angle)
+
+    def summary(self) -> Dict:
+        cz = self.cz()
+        return {
+            "species": self.species, "n_rydberg": self.n_rydberg,
+            "cz_fidelity": cz.fidelity, "cz_duration_us": cz.duration * 1e6,
+            "cz_leakage": cz.leakage,
+            "sq_pi_duration_us": self.single_qubit(0, "x").duration * 1e6,
+            "T1_s": self.T1, "T2_s": self.T2,
+            "measure_fidelity": self.measure().fidelity,
+        }
+
+
+__all__ = ["NeutralAtomBackend"]

@@ -1,0 +1,108 @@
+"""End-to-end QEC memory experiments: sample -> decode -> logical error rate.
+
+The reference's planned simulation flow (architecture/simulator.py:22-30):
+"load schedule, apply operations with errors, track syndromes, decode,
+report metrics" — implemented here as one device-side sampling call plus
+one device-side decoding call, with ICI sharding for multi-chip
+Monte-Carlo (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+
+from .circuits import Circuit
+from .decoders import decoder_for_circuit
+from .pauli_frame import build_sampler
+from .surface_code import logical_error_rate, memory_z_circuit
+
+
+@dataclass
+class MemoryResult:
+    d: int
+    rounds: int
+    p: float
+    shots: int
+    n_logical_errors: int
+    p_logical_shot: float
+    p_logical_round: float
+    sample_seconds: float
+    decode_seconds: float
+    shots_per_second: float
+    detector_fraction: float
+    decoder: str
+    extras: Dict = field(default_factory=dict)
+
+    def __repr__(self):
+        return (f"MemoryResult(d={self.d}, rounds={self.rounds}, p={self.p}, "
+                f"shots={self.shots}, p_L/shot={self.p_logical_shot:.2e}, "
+                f"p_L/round={self.p_logical_round:.2e}, "
+                f"{self.shots_per_second:.0f} shots/s)")
+
+
+def run_memory(
+    d: int = 3,
+    rounds: Optional[int] = None,
+    p: float = 1e-3,
+    shots: int = 10000,
+    noise: str = "circuit",
+    cz_pauli_probs: Optional[np.ndarray] = None,
+    decoder: str = "matching",
+    seed: int = 0,
+    circuit: Optional[Circuit] = None,
+    max_defects: int = 32,
+) -> MemoryResult:
+    """Surface-code memory-Z experiment."""
+    rounds = rounds if rounds is not None else d
+    if circuit is None:
+        circuit = memory_z_circuit(d, rounds, noise=noise, p=p,
+                                   cz_pauli_probs=cz_pauli_probs)
+
+    sampler = build_sampler(circuit, shots)
+    dec = decoder_for_circuit(circuit, kind=decoder, max_defects=max_defects)
+
+    # compile outside the timed region
+    out = sampler(jax.random.PRNGKey(seed))
+    out["detectors"].block_until_ready()
+
+    t0 = time.perf_counter()
+    out = sampler(jax.random.PRNGKey(seed + 1))
+    out["detectors"].block_until_ready()
+    t_sample = time.perf_counter() - t0
+
+    dets = np.asarray(out["detectors"])
+    obs = np.asarray(out["observables"])[:, 0]
+
+    pred = dec.decode_batch(dets)
+    t_decode = getattr(dec, "last_decode_seconds", 0.0)
+
+    errors = int(np.sum((pred & 1) != (obs & 1)))
+    rates = logical_error_rate(errors, shots, rounds)
+
+    return MemoryResult(
+        d=d, rounds=rounds, p=p, shots=shots, n_logical_errors=errors,
+        p_logical_shot=rates["p_logical_shot"],
+        p_logical_round=rates["p_logical_round"],
+        sample_seconds=t_sample, decode_seconds=t_decode,
+        shots_per_second=shots / max(t_sample + t_decode, 1e-12),
+        detector_fraction=float(dets.mean()), decoder=decoder,
+        extras={"n_detectors": circuit.n_detectors,
+                "n_measurements": circuit.n_measurements})
+
+
+def threshold_scan(ds=(3, 5), ps=(1e-3, 2e-3, 4e-3), shots: int = 20000,
+                   decoder: str = "matching", seed: int = 0) -> Dict:
+    """Logical-vs-physical error scan (surface_code.py:22 'threshold')."""
+    table = {}
+    for d in ds:
+        for p in ps:
+            r = run_memory(d=d, p=p, shots=shots, decoder=decoder, seed=seed)
+            table[(d, p)] = r.p_logical_round
+    return table
+
+
+__all__ = ["MemoryResult", "run_memory", "threshold_scan"]

@@ -1,0 +1,98 @@
+"""ctypes bindings for the native (C++) matching decoder.
+
+The reference planned to lean on PyMatching's C++ core for decoding
+(reference: architecture/qec/decoders.py:6-8, pyproject.toml:57 — never
+wired up). This module provides the equivalent native path: a C++ greedy +
+2-opt matching decoder (native/uf_decoder.cpp) sharing the exact
+preprocessing (APSP distance/parity tables) with the TPU-batched decoder,
+so the two are drop-in interchangeable and cross-checkable.
+
+The library is built on demand with the in-repo Makefile; if no compiler
+is available the caller should fall back to the pure-JAX MatchingDecoder.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import time
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libufdecode.so")
+
+_lib = None
+
+
+def _load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.uf_create.restype = ctypes.c_void_p
+    lib.uf_create.argtypes = [ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+                              ctypes.POINTER(ctypes.c_int32)]
+    lib.uf_destroy.argtypes = [ctypes.c_void_p]
+    lib.uf_decode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load_library()
+        return True
+    except Exception:
+        return False
+
+
+class NativeMatchingDecoder:
+    """C++ greedy+2-opt matching decoder over the same APSP tables as the
+    TPU-batched MatchingDecoder."""
+
+    def __init__(self, n_detectors: int, edges: np.ndarray, probs: np.ndarray,
+                 obs: np.ndarray):
+        from .decoders import MatchingGraph
+        lib = _load_library()
+        g = MatchingGraph.from_edges(n_detectors, edges, probs, obs)
+        self.n_detectors = n_detectors
+        self._dist = np.ascontiguousarray(g.dist, dtype=np.float64)
+        # replace inf with a large finite sentinel for C++
+        self._dist[~np.isfinite(self._dist)] = 1e18
+        self._par = np.ascontiguousarray(g.parity, dtype=np.int32)
+        self._lib = lib
+        self._handle = lib.uf_create(
+            n_detectors + 1,
+            self._dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self._par.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.uf_destroy(self._handle)
+        except Exception:
+            pass
+
+    def decode_batch(self, detectors: np.ndarray) -> np.ndarray:
+        dets = np.ascontiguousarray(np.asarray(detectors), dtype=np.uint8)
+        shots, n_det = dets.shape
+        out = np.zeros(shots, dtype=np.uint8)
+        t0 = time.perf_counter()
+        self._lib.uf_decode_batch(
+            self._handle,
+            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            shots, n_det,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        self.last_decode_seconds = time.perf_counter() - t0
+        return out.astype(np.int64)
+
+
+__all__ = ["NativeMatchingDecoder", "native_available"]

@@ -1,0 +1,146 @@
+"""Tests for the optimization layer: cost, DE, objectives, sweeps, inverse."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from noisyquantumsimulator_tpu.optimize.apparatus import (ApparatusConstraints,
+                                                          SimulationCache)
+from noisyquantumsimulator_tpu.optimize.cost import (compute_cost,
+                                                     compute_cost_arrays,
+                                                     extract_metrics)
+from noisyquantumsimulator_tpu.optimize.de import differential_evolution
+from noisyquantumsimulator_tpu.optimize.engine import (
+    build_fixed_problem, make_objective, make_population_objective)
+from noisyquantumsimulator_tpu.optimize.forward import (
+    get_jp_bangbang_bounds_and_x0, get_lp_bounds_and_x0,
+    get_smooth_jp_bounds_and_x0, run_baseline, warm_start_bounds)
+from noisyquantumsimulator_tpu.optimize.sweeps import (hardware_sweep,
+                                                       protocol_sweep)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    app = ApparatusConstraints()
+    return build_fixed_problem(app, app.make_noiseless(), include_noise=False)
+
+
+class TestCost:
+    def test_perfect_gate_cheap(self):
+        m = {"avg_fidelity": 1.0, "f11": 1.0, "cz_phase_fidelity": 1.0}
+        assert compute_cost(m, gate_time_us=0.3) == pytest.approx(0.003)
+
+    def test_floor_below_half(self):
+        m = {"avg_fidelity": 0.4, "f11": 0.4, "cz_phase_fidelity": 0.9}
+        assert compute_cost(m) == 1e6
+
+    def test_nan_guard(self):
+        m = {"avg_fidelity": np.nan, "f11": 0.9, "cz_phase_fidelity": 0.9}
+        assert compute_cost(m) == 1e6
+
+    def test_array_version_matches(self):
+        c = float(compute_cost_arrays(jnp.asarray(0.99), jnp.asarray(0.98),
+                                      jnp.asarray(0.995), jnp.asarray(0.3)))
+        want = compute_cost({"avg_fidelity": 0.99, "f11": 0.98,
+                             "cz_phase_fidelity": 0.995}, 0.3)
+        assert c == pytest.approx(want)
+
+
+class TestApparatus:
+    def test_fingerprint_changes(self):
+        a = ApparatusConstraints()
+        b = ApparatusConstraints(temperature=5e-6)
+        assert a.fingerprint() != b.fingerprint()
+
+    def test_cache_roundtrip(self, tmp_path):
+        cache = SimulationCache()
+        k = cache.make_key("lp", [0.377, 4.29], "abc")
+        cache[k] = (1.23, {"avg_fidelity": 0.99})
+        path = str(tmp_path / "c.json")
+        cache.save(path)
+        c2 = SimulationCache()
+        c2.load(path)
+        assert c2[k][0] == 1.23
+
+
+class TestObjectives:
+    def test_lp_objective_at_optimum(self, problem):
+        obj = make_objective(problem, "lp")
+        cost, m = obj(jnp.asarray([0.377371, 4.29268]))
+        # trap-on Stark shift costs ~0.5% even noiseless (see gate tests)
+        assert float(m["avg_fidelity"]) > 0.99
+        assert float(cost) < 5000.0
+
+    def test_lp_objective_is_differentiable(self, problem):
+        obj = make_objective(problem, "lp")
+        g = jax.grad(lambda x: obj(x)[0])(jnp.asarray([0.36, 4.2]))
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.any(np.abs(np.asarray(g)) > 0)
+
+    def test_population_objective_batched(self, problem):
+        pop_obj = make_population_objective(problem, "smooth_jp")
+        x0 = jnp.asarray([10.09, 0.311 * np.pi, 1.242, 4.696, 0.0205])
+        pop = jnp.stack([x0, x0 * 1.02, x0 * 0.98])
+        costs, metrics = pop_obj(pop)
+        assert costs.shape == (3,)
+        assert float(metrics["avg_fidelity"][0]) > 0.99
+        # default params should be near-optimal in this neighborhood
+        assert float(costs[0]) <= float(costs[1]) + 1e3
+
+    def test_bangbang_objective(self, problem):
+        obj = make_objective(problem, "jandura_pupillo", n_segments=5)
+        bounds, x0 = get_jp_bangbang_bounds_and_x0(5)
+        cost, m = obj(jnp.asarray(x0))
+        assert np.isfinite(float(cost))
+
+
+class TestDE:
+    def test_minimizes_quadratic(self):
+        def cost_fn(pop):
+            c = jnp.sum((pop - jnp.asarray([1.0, -2.0])) ** 2, axis=1)
+            return c, {}
+        res = differential_evolution(cost_fn, [(-5, 5), (-5, 5)],
+                                     popsize=20, maxiter=60, seed=0)
+        assert res.fun < 1e-3
+        assert np.allclose(res.x, [1.0, -2.0], atol=0.05)
+        assert res.history[-1] <= res.history[0]
+
+
+class TestBoundsAndBaseline:
+    def test_bounds_shapes(self):
+        b, x = get_lp_bounds_and_x0()
+        assert len(b) == len(x) == 2
+        b, x = get_smooth_jp_bounds_and_x0()
+        assert len(b) == len(x) == 5
+        b, x = get_jp_bangbang_bounds_and_x0(5)
+        assert len(b) == len(x) == 10
+        with pytest.raises(ValueError):
+            get_jp_bangbang_bounds_and_x0(6)
+
+    def test_run_baseline(self):
+        result, metrics = run_baseline("smooth_jp", verbose=False)
+        assert 0.9 < metrics["avg_fidelity"] <= 1.0
+        assert metrics["gate_time_us"] > 0
+
+    def test_warm_start_bounds(self):
+        from noisyquantumsimulator_tpu.optimize.apparatus import OptimizationResult
+        res = OptimizationResult(
+            success=True, protocol="lp", best_params=np.array([0.37, 4.3]),
+            param_names=["delta_over_omega", "omega_tau"], best_cost=1.0,
+            best_metrics={}, n_evaluations=10, runtime_s=1.0)
+        b, x = warm_start_bounds(res, frac=0.1)
+        assert b[0][0] < 0.37 < b[0][1]
+
+
+class TestSweeps:
+    def test_protocol_sweep_one_call(self):
+        res = protocol_sweep("lp", 0, np.linspace(0.3, 0.45, 5),
+                             [0.377371, 4.29268], include_noise=False)
+        assert len(res.fidelity) == 5
+        # optimum near 0.377
+        assert 0.33 < res.values[res.best()] < 0.42
+
+    def test_hardware_sweep_temperature(self):
+        res = hardware_sweep("temperature", [2e-6, 50e-6],
+                             protocol="smooth_jp")
+        assert res.fidelity[0] > res.fidelity[1]

@@ -1,0 +1,148 @@
+"""Tests for the Layer-1 primitive API (Move/Gates/Measure/Cool/Idle).
+
+Fills the reference's empty tests/test_primitives/ tier.
+"""
+import numpy as np
+import pytest
+
+from noisyquantumsimulator_tpu.channels.conversions import (
+    average_gate_fidelity, is_cptp, unitary_superop)
+from noisyquantumsimulator_tpu.primitives.backend import NeutralAtomBackend
+from noisyquantumsimulator_tpu.primitives.gates import (SingleQubitGate,
+                                                        TwoQubitGate,
+                                                        rotation_matrix)
+from noisyquantumsimulator_tpu.primitives.motion import (Cool, Idle, Measure,
+                                                         Move)
+
+
+@pytest.fixture(scope="module")
+def backend():
+    return NeutralAtomBackend()
+
+
+class TestSingleQubitGate:
+    def test_rotation_matrices_unitary(self):
+        for ax in "xyz":
+            U = rotation_matrix(ax, 1.234)
+            assert np.allclose(U @ U.conj().T, np.eye(2))
+
+    def test_pi_pulse_duration(self):
+        g = SingleQubitGate(omega_raman=2 * np.pi * 1e6)
+        r = g(0, "x")
+        assert r.duration == pytest.approx(np.pi / (2 * np.pi * 1e6))
+        assert 0.99 < r.fidelity <= 1.0
+
+    def test_virtual_z_free(self):
+        g = SingleQubitGate()
+        r = g(0, "rz", angle=0.7)
+        assert r.duration == 0.0
+        assert r.fidelity == 1.0
+        assert r.metadata["virtual"]
+
+    def test_error_map_cptp(self):
+        r = SingleQubitGate()(0, "x")
+        cp, tp = is_cptp(r.error_map)
+        assert cp and tp
+
+    def test_unknown_gate_raises(self):
+        with pytest.raises(ValueError):
+            SingleQubitGate()(0, "hadamardish")
+
+
+class TestTwoQubitGate:
+    def test_cz_from_calibration(self, backend):
+        r = backend.cz()
+        assert 0.9 < r.fidelity < 1.0
+        assert r.duration > 0
+        assert r.error_map.shape == (16, 16)
+        assert r.leakage >= 0
+
+    def test_cnot_derived(self, backend):
+        r = backend.two_qubit(0, 1, "cnot")
+        assert r.duration > backend.cz().duration
+        assert r.metadata["derived_from"] == "cz"
+
+    def test_unknown_raises(self, backend):
+        with pytest.raises(ValueError):
+            backend.two_qubit(0, 1, "iswap")
+
+
+class TestMove:
+    def test_zero_move(self):
+        r = Move()(0, 0.0, 0.0)
+        assert r.heating_quanta == 0.0
+        assert r.loss_probability == 0.0
+
+    def test_longer_move_slower(self):
+        m = Move()
+        r1 = m(0, 0.0, 2e-6)
+        r2 = m(0, 0.0, 20e-6)
+        assert r2.duration > r1.duration
+
+    def test_faster_move_heats_more(self):
+        m = Move()
+        slow = m(0, 0.0, 5e-6, duration=100e-6)
+        fast = m(0, 0.0, 5e-6, duration=10e-6)
+        assert fast.heating_quanta > slow.heating_quanta
+
+    def test_trajectory_endpoints(self):
+        r = Move()(0, 0.0, 5e-6)
+        assert r.trajectory[0, 1] == pytest.approx(0.0)
+        assert r.trajectory[-1, 1] == pytest.approx(5e-6, rel=1e-6)
+
+
+class TestCool:
+    def test_method_hierarchy(self):
+        c = Cool()
+        t_dop = c(0, method="doppler").final_temperature
+        t_mol = c(0, method="molasses").final_temperature
+        t_sb = c(0, method="sideband").final_temperature
+        assert t_sb < t_mol < t_dop
+
+    def test_doppler_limit_value(self):
+        # T_D = hbar Gamma / 2 kB ~ 146 uK for Rb D2
+        t = Cool()(0, method="doppler").final_temperature
+        assert t == pytest.approx(146e-6, rel=0.05)
+
+    def test_sideband_near_ground(self):
+        r = Cool()(0, method="sideband")
+        assert r.final_nbar < 0.1
+
+    def test_unknown_method(self):
+        with pytest.raises(ValueError):
+            Cool()(0, method="laser_hopes")
+
+
+class TestIdle:
+    def test_error_grows_with_time(self):
+        i = Idle(T1=1.0, T2=0.5)
+        r1 = i(0, 1e-6)
+        r2 = i(0, 1e-3)
+        assert r2.pauli_error_probs[3] > r1.pauli_error_probs[3]
+        assert r2.loss_probability > r1.loss_probability
+
+    def test_cptp(self):
+        r = Idle()(0, 1e-3)
+        cp, tp = is_cptp(r.error_map)
+        assert cp and tp
+
+
+class TestMeasure:
+    def test_confusion_matrix_rows_normalized(self):
+        cm = Measure().confusion_matrix
+        assert np.allclose(cm.sum(axis=1), 1.0)
+
+    def test_sampling_statistics(self):
+        m = Measure(fidelity_0=0.99, fidelity_1=0.95)
+        rng = np.random.default_rng(0)
+        outs = [m(0, state_probabilities=np.array([0.0, 1.0]), rng=rng).outcome
+                for _ in range(2000)]
+        assert np.mean(outs) == pytest.approx(0.95, abs=0.02)
+
+
+class TestBackend:
+    def test_summary_keys(self, backend):
+        s = backend.summary()
+        for k in ("cz_fidelity", "cz_duration_us", "measure_fidelity"):
+            assert k in s
+        assert 0.9 < s["cz_fidelity"] < 1.0

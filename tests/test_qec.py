@@ -1,0 +1,159 @@
+"""Tests for the Layer-2 QEC architecture (sampler, surface code, decoders).
+
+Fills the reference's empty tests/test_architecture/ tier, including the
+parity checks the reference never had (deterministic noiseless circuits,
+single-fault decodability, sub-threshold distance scaling).
+"""
+import numpy as np
+import pytest
+
+from noisyquantumsimulator_tpu.qec.circuits import Circuit, detector_matrix
+from noisyquantumsimulator_tpu.qec.dem import build_dem, dem_to_edges
+from noisyquantumsimulator_tpu.qec.decoders import (MatchingDecoder,
+                                                    UnionFindDecoder,
+                                                    decoder_for_circuit)
+from noisyquantumsimulator_tpu.qec.memory import run_memory
+from noisyquantumsimulator_tpu.qec.pauli_frame import sample_circuit
+from noisyquantumsimulator_tpu.qec.surface_code import (build_layout,
+                                                        code_metrics,
+                                                        logical_error_rate,
+                                                        memory_z_circuit)
+
+
+class TestCircuitIR:
+    def test_build_and_counts(self):
+        c = Circuit(4)
+        c.append("H", [0, 1]).append("CX", [[0, 2], [1, 3]])
+        c.append("DEPOLARIZE2", [[0, 2]], arg=1e-3)
+        c.append("M", [2, 3], arg=1e-3)
+        c.detector([-2])
+        c.observable_include(0, [-1])
+        assert c.n_measurements == 2
+        assert c.n_detectors == 1
+        D = detector_matrix(c)
+        assert D.shape == (1, 2) and D[0, 0] == 1
+
+    def test_rec_out_of_range(self):
+        c = Circuit(2)
+        c.append("M", [0])
+        with pytest.raises(ValueError):
+            c.detector([-5])
+
+
+class TestPauliFrame:
+    def test_repetition_code_detects_flips(self):
+        # 3-qubit repetition: two parity checks via CX onto ancillas
+        c = Circuit(5)
+        c.append("X_ERROR", [0, 1, 2], arg=0.1)
+        c.append("CX", [[0, 3], [1, 4]])
+        c.append("CX", [[1, 3], [2, 4]])
+        c.append("M", [3, 4])
+        c.detector([-2])
+        c.detector([-1])
+        out = sample_circuit(c, 20000, seed=0)
+        # detector 0 fires iff q0 xor q1 flipped: 2 p (1-p)
+        expect = 2 * 0.1 * 0.9
+        assert out["detectors"][:, 0].mean() == pytest.approx(expect, abs=0.01)
+
+    def test_noiseless_deterministic(self):
+        c = memory_z_circuit(3, 2, p=0.0)
+        out = sample_circuit(c, 128, seed=3)
+        assert out["detectors"].sum() == 0
+        assert out["observables"].sum() == 0
+
+    def test_x_error_rate_statistics(self):
+        c = Circuit(1)
+        c.append("X_ERROR", [0], arg=0.25)
+        c.append("M", [0])
+        c.detector([-1])
+        out = sample_circuit(c, 50000, seed=1)
+        assert out["detectors"].mean() == pytest.approx(0.25, abs=0.01)
+
+    def test_depolarize1_only_xy_flip_measurement(self):
+        c = Circuit(1)
+        c.append("DEPOLARIZE1", [0], arg=0.3)
+        c.append("M", [0])
+        c.detector([-1])
+        out = sample_circuit(c, 50000, seed=2)
+        # X or Y = 2/3 of errors flip Z measurement
+        assert out["detectors"].mean() == pytest.approx(0.2, abs=0.01)
+
+
+class TestSurfaceCode:
+    @pytest.mark.parametrize("d", [3, 5, 7])
+    def test_layout_counts(self, d):
+        m = code_metrics(d)
+        assert m["n_data"] == d * d
+        assert m["n_x_stabilizers"] == (d * d - 1) // 2
+        assert m["n_z_stabilizers"] == (d * d - 1) // 2
+
+    def test_layout_validation_runs(self):
+        build_layout(3)  # raises on inconsistency
+
+    def test_circuit_shape(self):
+        c = memory_z_circuit(3, 3, p=1e-3)
+        # (d^2-1) ancillas per round + d^2 final data measurements
+        assert c.n_measurements == 8 * 3 + 9
+        # Z detectors per round + boundary
+        assert c.n_detectors == 4 * 3 + 4
+
+
+class TestDEM:
+    def test_single_faults_decodable(self):
+        """Weight-1 faults decode correctly, except the irreducible
+        parallel-boundary-edge ambiguities (corner data qubits), whose
+        probability weight must stay small."""
+        c = memory_z_circuit(3, 3, p=1e-3)
+        dem = build_dem(c)
+        edges, probs, obs = dem_to_edges(dem)
+        dec = MatchingDecoder(c.n_detectors, edges, probs, obs)
+        dets = np.zeros((len(dem.mechanisms), c.n_detectors), np.uint8)
+        want = np.zeros(len(dem.mechanisms), np.int64)
+        ps = np.zeros(len(dem.mechanisms))
+        for i, m in enumerate(dem.mechanisms):
+            for dd in m.detectors:
+                dets[i, dd] = 1
+            want[i] = m.observables & 1
+            ps[i] = m.probability
+        pred = dec.decode_batch(dets)
+        bad = pred != want
+        assert ps[bad].sum() / ps.sum() < 0.05
+
+    def test_mechanism_weights(self):
+        c = memory_z_circuit(3, 2, p=1e-3)
+        dem = build_dem(c)
+        assert all(1 <= len(m.detectors) <= 4 for m in dem.mechanisms)
+        assert all(0 < m.probability < 0.01 for m in dem.mechanisms)
+
+
+class TestMemoryExperiments:
+    def test_subthreshold_distance_scaling(self):
+        r3 = run_memory(d=3, p=1e-3, shots=20000, seed=0)
+        r5 = run_memory(d=5, p=1e-3, shots=20000, seed=0)
+        assert r5.p_logical_round < r3.p_logical_round
+
+    def test_error_rate_grows_with_p(self):
+        r_lo = run_memory(d=3, p=5e-4, shots=20000, seed=1)
+        r_hi = run_memory(d=3, p=4e-3, shots=20000, seed=1)
+        assert r_hi.p_logical_shot > r_lo.p_logical_shot
+
+    def test_uf_decoder_agrees_roughly(self):
+        r_m = run_memory(d=3, p=2e-3, shots=3000, decoder="matching", seed=2)
+        r_u = run_memory(d=3, p=2e-3, shots=3000, decoder="uf", seed=2)
+        assert abs(r_m.p_logical_shot - r_u.p_logical_shot) < 0.02
+
+    def test_calibrated_noise_mode(self):
+        from noisyquantumsimulator_tpu.channels.calibration import calibrate_cz
+        rec = calibrate_cz()
+        r = run_memory(d=3, p=1e-3, shots=5000, noise="calibrated",
+                       cz_pauli_probs=np.asarray(rec.pauli_error_probs),
+                       seed=3)
+        assert 0 <= r.p_logical_shot < 0.5
+        assert r.detector_fraction > 0
+
+    def test_logical_error_rate_math(self):
+        r = logical_error_rate(100, 10000, 5)
+        assert r["p_logical_shot"] == pytest.approx(0.01)
+        # invert: (1 - (1-2 p_r)^rounds)/2 == p_shot
+        p_r = r["p_logical_round"]
+        assert (1 - (1 - 2 * p_r) ** 5) / 2 == pytest.approx(0.01, rel=1e-9)
