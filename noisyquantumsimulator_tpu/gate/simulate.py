@@ -486,12 +486,12 @@ def plan_cz_gate(
                         "trap_laser_on": trap_laser_on}
 
     if protocol == "levine_pichler":
-        xi = complex(np.asarray(proto.compute_phase_shift_xi(
-            Delta_gate, Omega, tau_single)))
+        xi = complex(proto.compute_phase_shift_xi(Delta_gate, Omega,
+                                                   tau_single))
         xi_phase = float(np.angle(xi))
         if pulse_shape == "square":
-            schedule = lp_square_schedule(jnp.asarray(xi_phase),
-                                          jnp.asarray(tau_single))
+            schedule = Schedule(np.ones(2), np.array([0.0, xi_phase]),
+                                np.full(2, tau_single))
             pulse_info["implementation"] = "constant_hamiltonian"
         else:
             corr = area_correction_factor(pulse_shape, tau_single)
@@ -506,26 +506,29 @@ def plan_cz_gate(
             amps = np.concatenate([env, env]) * corr
             phases = np.concatenate([np.zeros(n), np.full(n, xi_phase)])
             dts = np.full(2 * n, dt)
-            schedule = Schedule(jnp.asarray(amps), jnp.asarray(phases),
-                                jnp.asarray(dts))
+            schedule = Schedule(amps, phases, dts)
             pulse_info.update({"implementation": "piecewise_constant_envelope",
                                "area_correction": corr,
                                "n_steps_per_pulse": n})
     elif protocol == "jandura_pupillo":
-        schedule = bangbang_schedule(np.asarray(bb_switching, dtype=float),
-                                     np.asarray(bb_phases, dtype=float),
-                                     _ot, Omega)
+        sw = np.asarray(bb_switching, dtype=float)
+        ph = np.asarray(bb_phases, dtype=float)
+        bounds_bb = np.concatenate([[0.0], sw, [_ot]])
+        dts_bb = np.clip(np.diff(bounds_bb), 0.0, None) / Omega
+        schedule = Schedule(np.ones(len(ph)), ph, dts_bb)
         pulse_info.update({"implementation": "piecewise_constant_hamiltonian",
                            "protocol_variant": "jandura_pupillo_bangbang",
                            "switching_times": list(map(float, bb_switching)),
                            "phases": list(map(float, bb_phases)),
                            "n_segments": len(bb_phases), "omega_tau": _ot})
     else:  # smooth_jp
-        schedule = smooth_jp_schedule(
-            jnp.asarray(smooth_params["A"]),
-            jnp.asarray(smooth_params["omega_mod_ratio"] * Omega),
-            jnp.asarray(smooth_params["phi_offset"]),
-            jnp.asarray(tau_total), n_steps=n_steps_smooth)
+        n = n_steps_smooth
+        dt = tau_total / n
+        t_mid = (np.arange(n) + 0.5) * dt
+        phases_np = smooth_params["A"] * np.cos(
+            smooth_params["omega_mod_ratio"] * Omega * t_mid
+            - smooth_params["phi_offset"])
+        schedule = Schedule(np.ones(n), phases_np, np.full(n, dt))
         pulse_info.update({"implementation": "time_dependent_hamiltonian",
                            "protocol_variant": "bluvstein_evered_dark_state",
                            **smooth_params,

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.configs import SmoothJPSimulationInputs
-from ..physics.protocols import compute_phase_shift_xi
+from ..physics.protocols import compute_phase_shift_xi_jax
 from ..solver.propagator import Schedule, evolve_rhos
 from ..gate.fidelity import compute_cz_fidelity
 from ..gate.simulate import plan_cz_gate
@@ -101,7 +101,7 @@ def lp_schedule_from_params(params, problem: FixedProblem):
     Omega = problem.Omega
     Delta = dow * Omega
     tau = ot / Omega
-    xi = compute_phase_shift_xi(Delta, Omega, tau)
+    xi = compute_phase_shift_xi_jax(Delta, Omega, tau)
     xi_phase = jnp.angle(xi)
     amps = jnp.ones((2,))
     phases = jnp.stack([jnp.zeros_like(xi_phase), xi_phase])

@@ -8,8 +8,12 @@ jax.numpy so every function is trace-safe).
 """
 from __future__ import annotations
 
+# HOST-SIDE MODULE: numpy on purpose. Planning-path physics runs on the
+# host (eager device ops cost ~seconds over tunneled TPU backends and
+# f32 flush-to-zero corrupts SI-unit scales). Traced (device) optimizers
+# consume schedules, not these helpers.
 import numpy as np
-import jax.numpy as jnp
+import numpy as jnp  # noqa: F401 — see module note
 
 from ..core.constants import A0, C, E_CHARGE, EPS0, HBAR
 from ..core.atom_data import SpeciesData, effective_n, get_species

@@ -245,12 +245,28 @@ def get_jp_protocol(V_over_Omega: Optional[float] = None) -> dict:
 
 
 def compute_phase_shift_xi(Delta, Omega, tau):
-    """Optimal LP second-pulse phase factor e^{i xi}.
+    """Optimal LP second-pulse phase factor e^{i xi} (host/numpy).
     (protocols.py:747-819; Levine et al. PRL 123 170503 supplement)
 
     With y = Delta/|Omega|, s = |Omega| tau, a = sqrt(y^2+1), b = s a / 2:
         e^{i xi} = (a cos b + i y sin b) / (-a cos b + i y sin b)
     """
+    absO = np.abs(Omega)
+    if absO < 1e-10:
+        return 1.0 + 0j
+    y = Delta / absO
+    s = absO * tau
+    a = np.sqrt(y ** 2 + 1.0)
+    b = s * a / 2.0
+    num = a * np.cos(b) + 1j * y * np.sin(b)
+    den = -a * np.cos(b) + 1j * y * np.sin(b)
+    if np.abs(den) < 1e-12:
+        return 1.0 + 0j
+    return num / den
+
+
+def compute_phase_shift_xi_jax(Delta, Omega, tau):
+    """Traced twin of compute_phase_shift_xi for on-device optimizers."""
     import jax.numpy as jnp
     absO = jnp.abs(Omega)
     y = Delta / jnp.maximum(absO, 1e-30)
@@ -274,4 +290,5 @@ __all__ = [
     "LP_DEFAULT", "JP_DEFAULT", "JP_7SEG",
     "get_protocol_params", "get_adaptive_protocol_params",
     "get_lp_protocol", "get_jp_protocol", "compute_phase_shift_xi",
+    "compute_phase_shift_xi_jax",
 ]

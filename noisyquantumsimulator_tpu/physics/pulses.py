@@ -10,8 +10,9 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Tuple
 
+# HOST-SIDE MODULE: numpy on purpose (see physics/laser.py note).
 import numpy as np
-import jax.numpy as jnp
+import numpy as jnp  # noqa: F401
 
 from ..core.constants import HBAR, MU_B, RY_JOULES, TWO_PI
 
@@ -22,7 +23,7 @@ from ..core.constants import HBAR, MU_B, RY_JOULES, TWO_PI
 
 def pulse_envelope_square(t, tau, **kwargs):
     """Constant envelope. (pulse_shaping.py:83)"""
-    return jnp.ones_like(jnp.asarray(t, dtype=jnp.result_type(float)))
+    return np.ones_like(np.asarray(t, dtype=float))
 
 
 def pulse_envelope_gaussian(t, tau, sigma_factor: float = 3.0, **kwargs):
@@ -59,9 +60,9 @@ def pulse_envelope_drag(t, tau, Delta_leak, lambda_drag: float = 1.0,
         base = pulse_envelope_blackman(t, tau)
     else:
         raise ValueError(f"Unknown base_shape: {base_shape}")
-    t = jnp.asarray(t)
-    dt = jnp.where(t.size > 1, t[1] - t[0], tau / 100.0) if t.ndim else tau / 100.0
-    d_base = jnp.gradient(base, dt) if t.ndim and t.size > 1 else jnp.zeros_like(base)
+    t = np.asarray(t)
+    dt = (t[1] - t[0]) if (t.ndim and t.size > 1) else tau / 100.0
+    d_base = np.gradient(base, dt) if (t.ndim and t.size > 1) else np.zeros_like(base)
     return base + 1j * (lambda_drag / jnp.abs(Delta_leak)) * d_base
 
 

@@ -1,0 +1,179 @@
+"""Trapped-ion micro-physics: MS gates, motional modes, shuttling, readout.
+
+Implements the reference's comment-only trapped-ion layer
+(reference: src/qpu_simulator/micro_physics/trapped_ions/** — QCCD MS
+gates / shuttling / motional modes / measurement / cooling specs, e.g.
+qccd/gates.py:1-28 "MS gate -> CPTP map, duration, crosstalk").
+
+Analytic error models from the standard trapped-ion literature
+(Soerensen & Moelmer PRA 62 022311; Ballance et al. PRL 117 060504):
+
+  MS gate infidelity contributions:
+    thermal (Debye-Waller):   eps_th ~ (pi^2/2) nbar eta^4 K^2  (spectator
+                               mode carrier coupling; simplified)
+    motional heating:         eps_heat ~ ndot * tau_gate * eta^2
+    motional dephasing:       eps_mot ~ (tau_gate / tau_mot_coh)^2 /2
+    laser dephasing:          eps_las ~ tau_gate / T2_laser
+    off-resonant scattering:  eps_sc ~ gamma_sc * tau_gate
+
+The outputs match the spec contract: CPTP map + duration + crosstalk.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..core.constants import HBAR, KB, TWO_PI
+
+# common ion masses [kg]
+ION_MASSES = {
+    "Be9": 1.4965e-26, "Ca40": 6.6359e-26, "Sr88": 1.4600e-25,
+    "Ba137": 2.2737e-25, "Yb171": 2.8384e-25,
+}
+
+
+def lamb_dicke_parameter(mass: float, omega_mode: float,
+                         k_eff: float) -> float:
+    """eta = k_eff * sqrt(hbar / (2 m omega))."""
+    return k_eff * np.sqrt(HBAR / (2.0 * mass * omega_mode))
+
+
+def axial_mode_frequencies(omega_z: float, n_ions: int) -> np.ndarray:
+    """Lowest axial normal-mode frequencies of an n-ion chain (ratios from
+    the standard harmonic-chain eigenproblem; exact for n<=3, asymptotic
+    fit beyond)."""
+    ratios = {1: [1.0], 2: [1.0, np.sqrt(3.0)],
+              3: [1.0, np.sqrt(3.0), np.sqrt(5.8)]}
+    if n_ions in ratios:
+        return omega_z * np.asarray(ratios[n_ions])
+    # James (1998) fit: mode k ~ sqrt of roughly linear spectrum
+    ks = np.arange(1, n_ions + 1, dtype=float)
+    return omega_z * np.sqrt(1.0 + 0.85 * (ks - 1) ** 1.7)
+
+
+@dataclass
+class MSGateResult:
+    """Spec contract (micro_physics/trapped_ions/qccd/gates.py:20-28)."""
+    duration: float
+    fidelity: float
+    error_map_pauli: np.ndarray     # (16,) twirled 2-qubit error probs
+    crosstalk: float
+    error_budget: Dict[str, float] = field(default_factory=dict)
+
+
+def ms_gate(
+    species: str = "Yb171",
+    omega_mode: float = TWO_PI * 3e6,
+    nbar: float = 0.05,
+    heating_rate_quanta_per_s: float = 100.0,
+    motional_coherence_time: float = 10e-3,
+    laser_coherence_time: float = 1.0,
+    scattering_rate: float = 1.0,
+    detuning_from_mode: float = TWO_PI * 20e3,
+    k_eff: float = 2.0 * TWO_PI / 355e-9,   # counter-propagating Raman
+    n_loops: int = 1,
+    neighbor_mode_splitting: float = TWO_PI * 1e6,
+) -> MSGateResult:
+    """Moelmer-Soerensen two-qubit gate error model.
+
+    Gate time for K loops at detuning delta from the mode: tau = 2 pi K/delta.
+    """
+    mass = ION_MASSES[species]
+    eta = lamb_dicke_parameter(mass, omega_mode, k_eff)
+    tau = TWO_PI * n_loops / detuning_from_mode
+
+    eps_th = (np.pi ** 2 / 2.0) * nbar * eta ** 4
+    eps_heat = heating_rate_quanta_per_s * tau * eta ** 2 / 2.0
+    eps_mot = 0.5 * (tau / motional_coherence_time) ** 2
+    eps_las = tau / laser_coherence_time
+    eps_sc = scattering_rate * tau
+    # off-resonant coupling to the neighbouring mode
+    eps_spect = (detuning_from_mode / neighbor_mode_splitting) ** 2 / 2.0
+
+    budget = {"thermal": eps_th, "heating": eps_heat,
+              "motional_dephasing": eps_mot, "laser_dephasing": eps_las,
+              "scattering": eps_sc, "spectator_mode": eps_spect}
+    eps = min(0.5, sum(budget.values()))
+    fidelity = 1.0 - eps
+
+    # twirled error decomposition: MS errors are dominated by collective
+    # XX-type over/under-rotation + single-ion dephasing
+    probs = np.zeros(16)
+    probs[0] = 1.0 - eps
+    xx = eps * 0.4                      # over/under rotation -> XX
+    zi = eps * 0.2                      # dephasing on each ion
+    dep = eps - xx - 2 * zi             # residual: uniform depolarizing
+    labels = ["II", "IX", "IY", "IZ", "XI", "XX", "XY", "XZ",
+              "YI", "YX", "YY", "YZ", "ZI", "ZX", "ZY", "ZZ"]
+    probs[labels.index("XX")] += xx
+    probs[labels.index("IZ")] += zi
+    probs[labels.index("ZI")] += zi
+    probs[1:] += dep / 15.0
+
+    crosstalk = eps_spect + 0.1 * eps_th
+    return MSGateResult(duration=tau, fidelity=fidelity,
+                        error_map_pauli=probs, crosstalk=crosstalk,
+                        error_budget=budget)
+
+
+@dataclass
+class ShuttleResult:
+    """(micro_physics/trapped_ions/qccd/shuttling.py spec)"""
+    duration: float
+    heating_quanta: float
+    loss_probability: float
+    motional_phase: float
+
+
+def shuttle(distance: float = 100e-6, omega_mode: float = TWO_PI * 3e6,
+            speed_limit: float = 10.0, adiabatic_margin: float = 20.0,
+            junction: bool = False) -> ShuttleResult:
+    """QCCD ion transport: duration from adiabaticity (T >> 2pi/omega),
+    heating from the standard diabatic excitation estimate."""
+    T_min = adiabatic_margin * TWO_PI / omega_mode
+    T_speed = distance / speed_limit
+    T = max(T_min, T_speed) * (3.0 if junction else 1.0)
+    wT = omega_mode * T
+    n_heat = 1e4 / wT ** 2 + (0.5 if junction else 0.02)
+    return ShuttleResult(duration=T, heating_quanta=n_heat,
+                         loss_probability=1e-5 if not junction else 1e-4,
+                         motional_phase=omega_mode * T % TWO_PI)
+
+
+def fluorescence_readout(duration: float = 200e-6,
+                         collection_efficiency: float = 0.02,
+                         scatter_rate_bright: float = 1e7,
+                         dark_leak_rate: float = 2.0,
+                         threshold: Optional[int] = None
+                         ) -> Tuple[np.ndarray, float]:
+    """Ion-fluorescence confusion matrix from Poisson photon statistics.
+    (micro_physics/trapped_ions/measurement spec)
+
+    Bright state scatters ~scatter_rate*efficiency photons/s; the dark
+    state leaks into the bright manifold at dark_leak_rate (off-resonant
+    pumping)."""
+    from scipy.stats import poisson
+    mean_bright = scatter_rate_bright * collection_efficiency * duration
+    thr = threshold if threshold is not None else max(1, int(mean_bright / 3))
+    # P(dark read as bright): leak event then bright photons
+    p_leak = 1.0 - np.exp(-dark_leak_rate * duration)
+    p_dark_counts_above = p_leak * 0.5  # leak midway: ~half the photons
+    eps_dark = p_dark_counts_above
+    # P(bright read as dark): Poisson counts below threshold
+    eps_bright = float(poisson.cdf(thr - 1, mean_bright))
+    cm = np.array([[1 - eps_dark, eps_dark],
+                   [eps_bright, 1 - eps_bright]])
+    fid = 1.0 - 0.5 * (eps_dark + eps_bright)
+    return cm, fid
+
+
+def sideband_cooling_limit(omega_mode: float, linewidth: float) -> float:
+    """Resolved-sideband cooling floor nbar ~ (Gamma / 2 omega)^2."""
+    return (linewidth / (2.0 * omega_mode)) ** 2
+
+
+__all__ = ["ION_MASSES", "lamb_dicke_parameter", "axial_mode_frequencies",
+           "MSGateResult", "ms_gate", "ShuttleResult", "shuttle",
+           "fluorescence_readout", "sideband_cooling_limit"]

@@ -1,0 +1,330 @@
+"""Quantum LDPC codes: bivariate-bicycle (BB) construction + BP decoding.
+
+Implements the reference's comment-only LDPC spec
+(reference: architecture/qec/ldpc_codes.py:5-23 — "hypergraph/lifted
+product, bivariate bicycle, Tanner; movement-based non-local checks" —
+and decoders.py:7 "BP for LDPC").
+
+Bivariate bicycle codes (Bravyi et al., Nature 627, 778 (2024), public
+construction): on the group Z_l x Z_m with cyclic shift matrices
+x = S_l (x) I_m, y = I_l (x) S_m, pick polynomials
+
+    A = x^a1 + y^a2 + y^a3      B = y^b1 + x^b2 + x^b3
+
+then Hx = [A | B], Hz = [B^T | A^T] is a CSS code on n = 2 l m qubits.
+The famous [[144, 12, 12]] "gross code" uses l=12, m=6,
+A = x^3 + y + y^2, B = y^3 + x + x^2.
+
+The BP decoder is min-sum, fully vectorized over shots in JAX: every shot's
+message passing runs in lockstep on device (the reference planned a serial
+C++ path). An optional small-set-fall-back flips the most-suspect bit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# =============================================================================
+# construction
+# =============================================================================
+
+def _shift(n: int, k: int) -> np.ndarray:
+    return np.roll(np.eye(n, dtype=np.uint8), k, axis=1)
+
+
+def bb_code(l: int, m: int, a_powers: Tuple[int, int, int],
+            b_powers: Tuple[int, int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Bivariate bicycle parity checks (Hx, Hz), each (l*m, 2*l*m) uint8.
+
+    a_powers = (a1, a2, a3): A = x^a1 + y^a2 + y^a3
+    b_powers = (b1, b2, b3): B = y^b1 + x^b2 + x^b3
+    """
+    Il, Im = np.eye(l, dtype=np.uint8), np.eye(m, dtype=np.uint8)
+    x = np.kron(_shift(l, 1), Im)
+    y = np.kron(Il, _shift(m, 1))
+
+    def mpow(M, k):
+        out = np.eye(l * m, dtype=np.uint8)
+        for _ in range(k % (l * m)):
+            out = (out @ M) % 2
+        return out
+
+    A = (mpow(x, a_powers[0]) ^ mpow(y, a_powers[1]) ^ mpow(y, a_powers[2]))
+    B = (mpow(y, b_powers[0]) ^ mpow(x, b_powers[1]) ^ mpow(x, b_powers[2]))
+    Hx = np.concatenate([A, B], axis=1) % 2
+    Hz = np.concatenate([B.T, A.T], axis=1) % 2
+    return Hx.astype(np.uint8), Hz.astype(np.uint8)
+
+
+def gross_code() -> Tuple[np.ndarray, np.ndarray]:
+    """The [[144, 12, 12]] bivariate bicycle code."""
+    return bb_code(12, 6, (3, 1, 2), (3, 1, 2))
+
+
+def small_bb_code() -> Tuple[np.ndarray, np.ndarray]:
+    """[[72, 12, 6]] BB code (l=6, m=6, A=x^3+y+y^2, B=y^3+x+x^2)."""
+    return bb_code(6, 6, (3, 1, 2), (3, 1, 2))
+
+
+def css_n_k(Hx: np.ndarray, Hz: np.ndarray) -> Tuple[int, int]:
+    """(n, k) from parity-check ranks over GF(2)."""
+    def rank2(M):
+        M = M.copy() % 2
+        r = 0
+        rows, cols = M.shape
+        for c in range(cols):
+            piv = None
+            for i in range(r, rows):
+                if M[i, c]:
+                    piv = i
+                    break
+            if piv is None:
+                continue
+            M[[r, piv]] = M[[piv, r]]
+            for i in range(rows):
+                if i != r and M[i, c]:
+                    M[i] ^= M[r]
+            r += 1
+        return r
+    n = Hx.shape[1]
+    k = n - rank2(Hx) - rank2(Hz)
+    return n, k
+
+
+def check_css(Hx: np.ndarray, Hz: np.ndarray) -> bool:
+    """CSS condition Hx Hz^T = 0 (mod 2)."""
+    return not np.any((Hx.astype(int) @ Hz.T.astype(int)) % 2)
+
+
+def logical_operators(Hx: np.ndarray, Hz: np.ndarray) -> np.ndarray:
+    """Z-type logical operators: basis of ker(Hx) / rowspace(Hz).
+    Returns (k, n) uint8."""
+    n = Hx.shape[1]
+
+    def row_reduce(M):
+        M = M.copy() % 2
+        pivots = []
+        r = 0
+        for c in range(M.shape[1]):
+            piv = next((i for i in range(r, M.shape[0]) if M[i, c]), None)
+            if piv is None:
+                continue
+            M[[r, piv]] = M[[piv, r]]
+            for i in range(M.shape[0]):
+                if i != r and M[i, c]:
+                    M[i] ^= M[r]
+            pivots.append(c)
+            r += 1
+        return M[:r], pivots
+
+    # kernel of Hx
+    R, piv = row_reduce(Hx)
+    free = [c for c in range(n) if c not in piv]
+    kernel = []
+    for f in free:
+        v = np.zeros(n, dtype=np.uint8)
+        v[f] = 1
+        for r_i, c in enumerate(piv):
+            if R[r_i, f]:
+                v[c] = 1
+        kernel.append(v)
+    kernel = np.array(kernel, dtype=np.uint8)
+    # quotient by rowspace(Hz): keep kernel vectors independent of Hz rows
+    Rz, _ = row_reduce(Hz)
+    basis = list(Rz)
+    logicals = []
+    for v in kernel:
+        aug = np.array(basis + [v], dtype=np.uint8)
+        r_before = row_reduce(np.array(basis, dtype=np.uint8))[0].shape[0] \
+            if basis else 0
+        r_after = row_reduce(aug)[0].shape[0]
+        if r_after > r_before:
+            basis.append(v)
+            logicals.append(v)
+    return np.array(logicals, dtype=np.uint8)
+
+
+# =============================================================================
+# min-sum BP decoder (vectorized over shots)
+# =============================================================================
+
+@dataclass
+class BPDecoder:
+    """Min-sum belief propagation on the Tanner graph of H, batched over
+    shots on device."""
+    H: np.ndarray
+    error_prob: float = 1e-3
+    n_iters: int = 30
+    scale: float = 0.75     # normalized min-sum damping
+
+    def __post_init__(self):
+        H = np.asarray(self.H, dtype=np.uint8)
+        self.m, self.n = H.shape
+        self._H = jnp.asarray(H.astype(np.float32))
+        self._Hmask = jnp.asarray(H.astype(bool))
+        llr0 = np.log((1 - self.error_prob) / self.error_prob)
+        self._llr0 = float(llr0)
+        self._fn = jax.jit(partial(_bp_batch, H=self._H,
+                                   mask=self._Hmask, llr0=self._llr0,
+                                   n_iters=self.n_iters, scale=self.scale))
+
+    def decode_batch(self, syndromes) -> np.ndarray:
+        """syndromes (S, m) uint8 -> estimated error (S, n) uint8."""
+        e, _ = self._fn(jnp.asarray(syndromes, dtype=jnp.float32))
+        return np.asarray(e).astype(np.uint8)
+
+    def decode_batch_osd(self, syndromes) -> np.ndarray:
+        """BP + OSD-0 fallback (the standard qLDPC combination): shots whose
+        BP estimate does not reproduce the syndrome are re-decoded by
+        ordered-statistics: pick an information set of the most-suspect
+        columns (ranked by BP beliefs) and solve H e = s exactly."""
+        syndromes = np.asarray(syndromes, dtype=np.uint8)
+        est, beliefs = self._decode_with_beliefs(syndromes)
+        resid = (syndromes ^ (est @ self.H.T % 2).astype(np.uint8))
+        bad = np.nonzero(resid.any(axis=1))[0]
+        H = np.asarray(self.H, dtype=np.uint8)
+        for s_i in bad:
+            est[s_i] = _osd0(H, syndromes[s_i], beliefs[s_i])
+        return est
+
+    def _decode_with_beliefs(self, syndromes):
+        syn = jnp.asarray(syndromes, dtype=jnp.float32)
+        e, b = self._fn(syn)
+        return np.asarray(e).astype(np.uint8), np.asarray(b)
+
+
+def _osd0(H: np.ndarray, s: np.ndarray, belief: np.ndarray) -> np.ndarray:
+    """Order columns by reliability (ascending belief = most suspect first),
+    Gaussian-eliminate [H | s] over GF(2) restricted to that order, back-
+    substitute a solution supported on the selected pivot columns."""
+    m, n = H.shape
+    order = np.argsort(belief)          # most suspect first
+    A = np.concatenate([H[:, order], s[:, None]], axis=1).astype(np.uint8)
+    pivots = []
+    r = 0
+    for c in range(n):
+        if r >= m:
+            break
+        piv = next((i for i in range(r, m) if A[i, c]), None)
+        if piv is None:
+            continue
+        A[[r, piv]] = A[[piv, r]]
+        for i in range(m):
+            if i != r and A[i, c]:
+                A[i] ^= A[r]
+        pivots.append(c)
+        r += 1
+    e_perm = np.zeros(n, dtype=np.uint8)
+    for r_i, c in enumerate(pivots):
+        e_perm[c] = A[r_i, -1]
+    e = np.zeros(n, dtype=np.uint8)
+    e[order] = e_perm
+    return e
+
+
+def _bp_batch(syn, H, mask, llr0, n_iters, scale):
+    """Normalized min-sum over (S, m, n) message tensors."""
+    S = syn.shape[0]
+    m, n = H.shape
+    sgn_syn = 1.0 - 2.0 * syn                       # (S, m) in {+1,-1}
+    msg_v2c = jnp.where(mask[None], llr0, 0.0)
+    msg_v2c = jnp.broadcast_to(msg_v2c, (S, m, n))
+
+    def body(_, msg_v2c):
+        # check -> variable (min-sum with syndrome sign)
+        sgn = jnp.where(mask[None], jnp.sign(msg_v2c), 1.0)
+        prod_sgn = jnp.prod(sgn, axis=2, keepdims=True) * sgn_syn[:, :, None]
+        mag = jnp.where(mask[None], jnp.abs(msg_v2c), jnp.inf)
+        min1 = jnp.min(mag, axis=2, keepdims=True)
+        # extrinsic min: exclude exactly ONE argmin entry (ties must see
+        # each other's value, not the second-distinct minimum)
+        amin = jnp.argmin(mag, axis=2)
+        is_min = jax.nn.one_hot(amin, mag.shape[2], dtype=bool)
+        mag2 = jnp.where(is_min, jnp.inf, mag)
+        min2 = jnp.min(mag2, axis=2, keepdims=True)
+        ext_min = jnp.where(is_min, min2, min1)
+        ext_sgn = prod_sgn / jnp.where(sgn == 0, 1.0, sgn)
+        msg_c2v = jnp.where(mask[None], scale * ext_sgn * ext_min, 0.0)
+        # variable -> check
+        total = llr0 + jnp.sum(msg_c2v, axis=1, keepdims=True)  # (S,1,n)
+        msg_v2c = jnp.where(mask[None], total - msg_c2v, 0.0)
+        return msg_v2c
+
+    msg_v2c = jax.lax.fori_loop(0, n_iters, body, msg_v2c)
+    # final check->variable pass and total beliefs
+    sgn = jnp.where(mask[None], jnp.sign(msg_v2c), 1.0)
+    mag = jnp.where(mask[None], jnp.abs(msg_v2c), jnp.inf)
+    min1 = jnp.min(mag, axis=2, keepdims=True)
+    amin = jnp.argmin(mag, axis=2)
+    is_min = jax.nn.one_hot(amin, mag.shape[2], dtype=bool)
+    mag2 = jnp.where(is_min, jnp.inf, mag)
+    min2 = jnp.min(mag2, axis=2, keepdims=True)
+    ext_min = jnp.where(is_min, min2, min1)
+    full_sgn = jnp.prod(sgn, axis=2, keepdims=True) * sgn_syn[:, :, None]
+    ext_sgn = full_sgn / jnp.where(sgn == 0, 1.0, sgn)
+    msg_c2v = jnp.where(mask[None], scale * ext_sgn * ext_min, 0.0)
+    belief = llr0 + jnp.sum(msg_c2v, axis=1)        # (S, n)
+    return (belief < 0).astype(jnp.uint8), belief
+
+
+# =============================================================================
+# code-capacity memory experiment for BB codes
+# =============================================================================
+
+@dataclass
+class LDPCMemoryResult:
+    n: int
+    k: int
+    p: float
+    shots: int
+    p_logical_shot: float
+    syndrome_weight_mean: float
+    decoder_converged_frac: float
+
+
+def run_bb_memory(Hx: Optional[np.ndarray] = None,
+                  Hz: Optional[np.ndarray] = None,
+                  p: float = 1e-2, shots: int = 2000, seed: int = 0,
+                  n_iters: int = 50) -> LDPCMemoryResult:
+    """Code-capacity X-error memory test of a BB code:
+    sample iid X errors, decode with BP on Hz (Z checks see X errors),
+    count logical failures against the Z-type logical operators.
+
+    This is the `diagnose_bb`-style workload of BASELINE.json config #5,
+    with BP decoding batched on device.
+    """
+    if Hx is None or Hz is None:
+        Hx, Hz = small_bb_code()
+    n, k = css_n_k(Hx, Hz)
+    Lz = logical_operators(Hx, Hz)  # Z-logicals detect... we need X-logical
+    # X errors are detected by Hz; logical failure iff residual anticommutes
+    # with a Z-logical: parity Lz . e
+    rng = np.random.default_rng(seed)
+    errors = (rng.random((shots, Hx.shape[1])) < p).astype(np.uint8)
+    syndromes = (errors @ Hz.T) % 2
+
+    dec = BPDecoder(Hz, error_prob=p, n_iters=n_iters)
+    est = dec.decode_batch_osd(syndromes)
+    residual = errors ^ est
+    # converged = residual has zero syndrome
+    resid_syn = (residual @ Hz.T) % 2
+    converged = ~resid_syn.any(axis=1)
+    # logical flip on any Z-logical
+    flips = (residual @ Lz.T) % 2 if len(Lz) else np.zeros((shots, 1))
+    fail = (flips.any(axis=1)) | (~converged)
+    return LDPCMemoryResult(
+        n=n, k=k, p=p, shots=shots,
+        p_logical_shot=float(fail.mean()),
+        syndrome_weight_mean=float(syndromes.mean()),
+        decoder_converged_frac=float(converged.mean()))
+
+
+__all__ = ["bb_code", "gross_code", "small_bb_code", "css_n_k", "check_css",
+           "logical_operators", "BPDecoder", "LDPCMemoryResult",
+           "run_bb_memory"]

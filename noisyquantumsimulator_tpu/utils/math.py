@@ -1,0 +1,108 @@
+"""Quantum math utilities: fidelities, partial trace, norms, entropies.
+
+Implements the reference's comment-only utils spec
+(reference: src/qpu_simulator/utils/math_utils.py:5-13 — "fidelity,
+partial trace, Kraus->PTM, diamond-norm helpers"). All functions are jnp
+and batch over leading dimensions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..gate.fidelity import mixed_state_fidelity, state_fidelity
+from ..channels.conversions import (kraus_to_superop, superop_to_choi,
+                                    superop_to_ptm, unitary_superop)
+
+
+def fidelity(rho, sigma):
+    """Uhlmann fidelity; accepts kets or density matrices (last dims)."""
+    rho = jnp.asarray(rho)
+    sigma = jnp.asarray(sigma)
+    if rho.ndim == sigma.ndim == 1:
+        return jnp.abs(jnp.vdot(sigma, rho)) ** 2
+    if rho.ndim == sigma.ndim - 1 or (rho.ndim == 1 and sigma.ndim == 2):
+        return state_fidelity(sigma, rho)
+    if sigma.ndim == rho.ndim - 1:
+        return state_fidelity(rho, sigma)
+    return mixed_state_fidelity(rho, sigma)
+
+
+def purity(rho):
+    """Tr(rho^2)."""
+    return jnp.real(jnp.einsum("...ij,...ji->...", rho, rho))
+
+
+def partial_trace(rho, keep: int, dims):
+    """Partial trace of a bipartite (or multipartite) density matrix.
+
+    rho: (..., D, D) with D = prod(dims); keep: subsystem index to KEEP.
+    """
+    dims = tuple(dims)
+    n = len(dims)
+    rho = jnp.asarray(rho)
+    batch = rho.shape[:-2]
+    r = rho.reshape(batch + dims + dims)
+    # trace out everything but `keep`
+    for k in reversed([i for i in range(n) if i != keep]):
+        na = len(r.shape) - len(batch)
+        half = na // 2
+        ax1 = len(batch) + k
+        ax2 = len(batch) + half + k
+        r = jnp.trace(r, axis1=ax1, axis2=ax2)
+    d = dims[keep]
+    return r.reshape(batch + (d, d))
+
+
+def von_neumann_entropy(rho, base: float = 2.0):
+    """S(rho) = -Tr rho log rho."""
+    ev = jnp.linalg.eigvalsh(rho)
+    ev = jnp.clip(jnp.real(ev), 1e-15, 1.0)
+    return -jnp.sum(ev * jnp.log(ev), axis=-1) / np.log(base)
+
+
+def concurrence_2q(rho):
+    """Wootters concurrence of a two-qubit density matrix."""
+    sy = np.array([[0, -1j], [1j, 0]])
+    YY = jnp.asarray(np.kron(sy, sy))
+    rho = jnp.asarray(rho)
+    rt = YY @ jnp.conj(rho) @ YY
+    ev = jnp.linalg.eigvals(rho @ rt)
+    lam = jnp.sort(jnp.sqrt(jnp.clip(jnp.real(ev), 0.0, None)))[::-1]
+    return jnp.maximum(0.0, lam[0] - lam[1] - lam[2] - lam[3])
+
+
+def trace_distance(rho, sigma):
+    """T(rho, sigma) = 0.5 ||rho - sigma||_1."""
+    ev = jnp.linalg.eigvalsh(rho - sigma)
+    return 0.5 * jnp.sum(jnp.abs(ev), axis=-1)
+
+
+def diamond_norm_upper_bound(S1: np.ndarray, S2: np.ndarray) -> float:
+    """Cheap upper bound on the diamond distance between two channels:
+    ||E1 - E2||_diamond <= d * ||C1 - C2||_1 (Choi trace-norm bound).
+
+    Exact diamond norms need an SDP solver; this bound is the standard
+    lightweight surrogate (utils/math_utils.py:11 spec 'diamond-norm
+    helpers')."""
+    d = int(round(np.sqrt(S1.shape[0])))
+    C1 = superop_to_choi(np.asarray(S1)) / d
+    C2 = superop_to_choi(np.asarray(S2)) / d
+    ev = np.linalg.eigvalsh((C1 - C2 + (C1 - C2).conj().T) / 2)
+    return float(d * np.sum(np.abs(ev)))
+
+
+def kraus_to_ptm(kraus) -> np.ndarray:
+    """Kraus operators -> Pauli transfer matrix. (math_utils.py:9)"""
+    return superop_to_ptm(kraus_to_superop(kraus))
+
+
+def process_fidelity_from_ptm(R: np.ndarray, R_target: np.ndarray) -> float:
+    """F_pro = Tr(R_t^T R) / d^2 in PTM representation."""
+    d2 = R.shape[0]
+    return float(np.trace(R_target.T @ R) / d2)
+
+
+__all__ = ["fidelity", "purity", "partial_trace", "von_neumann_entropy",
+           "concurrence_2q", "trace_distance", "diamond_norm_upper_bound",
+           "kraus_to_ptm", "process_fidelity_from_ptm"]
