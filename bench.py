@@ -28,7 +28,8 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.core.configs import SmoothJPSimulationInputs
-    from noisyquantumsimulator_tpu.gate.simulate import plan_cz_gate
+    from noisyquantumsimulator_tpu.gate.simulate import (plan_cz_gate,
+                                                         plan_squaring_bound)
     from noisyquantumsimulator_tpu.solver.propagator import Schedule, evolve_rhos
     from noisyquantumsimulator_tpu.gate.fidelity import compute_cz_fidelity
     from noisyquantumsimulator_tpu.utils.transfer import (
@@ -53,9 +54,13 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
     # NOTE: the complex arrays MUST be jit *arguments*, not closures —
     # closed-over device arrays are inlined as MLIR constants, which forces
     # a host fetch of complex data (unsupported on the axon tunnel).
+    # host-known schedule -> tight static squaring bound (each masked
+    # squaring-loop trip is a full batched matmul; don't pay for unused ones)
+    ms = plan_squaring_bound(plan)
+
     def one_sim(scale, L0, Cp, Cm, rho0s, phases):
         sched = Schedule(amps, scale * phases, dts)
-        rhos = evolve_rhos(L0, Cp, Cm, sched, rho0s)
+        rhos = evolve_rhos(L0, Cp, Cm, sched, rho0s, max_squarings=ms)
         _, avg, _ = compute_cz_fidelity(rhos, plan.kets)
         return avg
 
@@ -104,6 +109,42 @@ def run_baseline_zvode(plan, n_states: int = 4) -> float:
     return time.perf_counter() - t0
 
 
+def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
+             shots: int = 1 << 20):
+    """Secondary benchmark (run with --qec): d=7 surface-code memory
+    detector sampling throughput via the one-matmul MXU sampler
+    (BASELINE.md north-star #3: exceed Stim on shots/s)."""
+    import jax
+    import jax.numpy as jnp
+    from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+    from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+
+    circuit = memory_z_circuit(d, rounds, p=p)
+    sampler = build_fast_sampler(circuit, shots)
+
+    out = sampler(jax.random.PRNGKey(0))
+    n_fire = int(jnp.sum(out["detectors"].astype(jnp.int32)))  # fence
+
+    reps = 5
+    t0 = time.perf_counter()
+    tot = 0
+    for r in range(reps):
+        out = sampler(jax.random.PRNGKey(r + 1))
+        tot += int(jnp.sum(out["detectors"].astype(jnp.int32)))  # fence
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": f"surface_code_d{d}_sample_shots_per_sec",
+        "value": round(shots * reps / dt, 0),
+        "unit": "shots/s",
+        "vs_baseline": None,
+        "d": d, "rounds": rounds, "p": p, "shots_per_call": shots,
+        "n_detectors": circuit.n_detectors,
+        "detector_fraction": round(n_fire / (shots * circuit.n_detectors), 5),
+        "backend": jax.devices()[0].platform,
+    }))
+
+
 def main():
     import jax
 
@@ -147,5 +188,17 @@ def main():
     }))
 
 
+def _flag(argv, name, default, cast=int):
+    if name in argv:
+        return cast(argv[argv.index(name) + 1])
+    return default
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--qec" in sys.argv:
+        main_qec(d=_flag(sys.argv, "--d", 7),
+                 rounds=_flag(sys.argv, "--rounds", 7),
+                 shots=_flag(sys.argv, "--shots", 1 << 20))
+    else:
+        main()

@@ -582,9 +582,28 @@ def run_plan(plan: GatePlan, dtype=None):
     Cp = jnp.asarray(np.asarray(plan.Cp, ndt))
     Cm = jnp.asarray(np.asarray(plan.Cm, ndt))
     rho0s = jnp.asarray(np.asarray(plan.rho0s, ndt))
-    rhos = evolve_rhos(L0, Cp, Cm, plan.schedule, rho0s)
+    rhos = evolve_rhos(L0, Cp, Cm, plan.schedule, rho0s,
+                       max_squarings=plan_squaring_bound(plan))
     fids, avg, phase_info = compute_cz_fidelity(rhos, plan.kets)
     return fids, avg, phase_info, rhos
+
+
+def plan_squaring_bound(plan: GatePlan) -> int:
+    """Tight static bound on the expm squaring count, computed on the host
+    (plan matrices and schedule are numpy). Every masked squaring-loop trip
+    costs a full batched matmul on device, so shaving the conservative
+    default is a direct throughput win."""
+    def n1(M):
+        return float(np.abs(M).sum(axis=0).max())
+    sched = plan.schedule
+    amax = float(np.max(np.abs(np.asarray(sched.amps))))
+    dtmax = float(np.max(np.asarray(sched.dts)))
+    norm = n1(plan.L0) + amax * (n1(plan.Cp) + n1(plan.Cm))
+    if sched.dets is not None and getattr(plan, "Cd", None) is not None:
+        norm += float(np.max(np.abs(np.asarray(sched.dets)))) * n1(plan.Cd)
+    norm *= dtmax
+    # theta = 1.8 is the tighter (taylor16) threshold; +1 slack segment
+    return max(1, int(np.ceil(np.log2(max(norm, 1.8) / 1.8))) + 1)
 
 
 def simulate_cz_gate(simulation_inputs: SimInputs, dtype=None,

@@ -7,9 +7,22 @@ exp(L dt) *exactly*, so instead of adaptive time stepping we compute batched
 matrix exponentials — matmul-dominated work that maps onto the MXU.
 
 Implementation notes:
-  * Fixed-structure Pade-13 (Higham 2005): 6 complex matmuls + 1 linear solve.
+  * Two fixed-structure kernels:
+      - Pade-13 (Higham 2005): 6 complex matmuls + 1 linear solve. Reference
+        accuracy for float64/complex128.
+      - Taylor-16 via Paterson-Stockmeyer: 6 complex matmuls, NO solve.
+        Batched LU solves map poorly onto the TPU (sequential panel
+        factorization + pivot gathers, off the MXU); the PS evaluation is
+        pure matmuls. With theta = 1.8 the truncation error is ~4e-10,
+        ample for the complex64 device path, at the cost of ~1 extra
+        squaring vs Pade's theta = 5.37.
+  * method="auto" picks Taylor-16 for 32-bit dtypes, Pade-13 for 64-bit.
   * Squaring count s is data-dependent but executed as a fixed-length masked
-    loop (jit/vmap-safe, static shapes).
+    loop (jit/vmap-safe, static shapes, reverse-differentiable). Every loop
+    iteration costs a full batched matmul whether masked or not, so callers
+    that know their operand norms (gate/simulate.run_plan does — schedules
+    are host numpy there) pass a tight `max_squarings` bound instead of the
+    conservative default.
   * Everything is expressed with jnp.matmul over (..., D, D) so a whole
     schedule of segment Liouvillians is exponentiated in one batched call.
 """
@@ -29,51 +42,92 @@ _B13 = (
     960960.0, 16380.0, 182.0, 1.0,
 )
 _THETA13 = 5.371920351148152
+# Taylor-16 threshold: truncation ~ theta^17/17! * e^theta = 4e-10 at 1.8 —
+# below complex64 roundoff for the squaring chain that follows.
+_THETA16 = 1.8
+_INVFACT = tuple(1.0 / __import__("math").factorial(k) for k in range(17))
 
 
-@partial(jax.jit, static_argnames=("max_squarings",))
-def expm(A: jnp.ndarray, max_squarings: int = 24) -> jnp.ndarray:
-    """exp(A) for A of shape (..., D, D), complex or real.
-
-    Batched over leading dims. `max_squarings` bounds the masked squaring
-    loop; 24 covers ||A||_1 up to ~9e7 which is far beyond any segment
-    Liouvillian this framework produces (segments are ~O(10) in norm).
-    """
-    A = jnp.asarray(A)
-    D = A.shape[-1]
-    I = jnp.eye(D, dtype=A.dtype)
-    I = jnp.broadcast_to(I, A.shape)
-
-    # 1-norm (max abs column sum) per batch element
+def _scale(A, theta, max_squarings):
+    """Per-batch-element scaling: A/2^s with ||A/2^s||_1 <= theta."""
     norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=-2), axis=-1)
-    # number of squarings: smallest s >= 0 with norm/2^s <= theta13
-    s_float = jnp.ceil(jnp.log2(jnp.maximum(norm1 / _THETA13, 1.0)))
+    s_float = jnp.ceil(jnp.log2(jnp.maximum(norm1 / theta, 1.0)))
     s = jnp.clip(s_float, 0, max_squarings).astype(jnp.int32)
     scale = jnp.exp2(-s.astype(A.real.dtype))
-    As = A * scale[..., None, None]
+    return A * scale[..., None, None], s
 
-    b = [jnp.asarray(c, dtype=A.dtype) for c in _B13]
+
+def _square(R, s, max_squarings):
+    """Masked fixed-trip squaring loop (vmap-safe, reverse-differentiable)."""
+    def body(i, R):
+        do = i < s  # per-batch-element mask
+        return jnp.where(do[..., None, None], R @ R, R)
+    return jax.lax.fori_loop(0, max_squarings, body, R)
+
+
+def _pade13(As, I):
+    b = [jnp.asarray(c, dtype=As.dtype) for c in _B13]
     A2 = As @ As
     A4 = A2 @ A2
     A6 = A2 @ A4
-
     U = As @ (A6 @ (b[13] * A6 + b[11] * A4 + b[9] * A2)
               + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * I)
     V = (A6 @ (b[12] * A6 + b[10] * A4 + b[8] * A2)
          + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * I)
-
-    R = jnp.linalg.solve(V - U, V + U)
-
-    def body(i, R):
-        do = i < s  # per-batch-element mask
-        R2 = R @ R
-        return jnp.where(do[..., None, None], R2, R)
-
-    R = jax.lax.fori_loop(0, max_squarings, body, R)
-    return R
+    return jnp.linalg.solve(V - U, V + U)
 
 
-def expm_apply(A: jnp.ndarray, X: jnp.ndarray, max_squarings: int = 24) -> jnp.ndarray:
+def _taylor16(As, I):
+    """Degree-16 Taylor via Paterson-Stockmeyer in powers of A^4:
+    p = B0 + A4 (B1 + A4 (B2 + A4 (B3 + c16 A4))), Bj cubic in A.
+    6 matmuls total (A2, A3, A4 + 3 Horner steps), no linear solve."""
+    c = [jnp.asarray(v, dtype=As.dtype) for v in _INVFACT]
+    A2 = As @ As
+    A3 = A2 @ As
+    A4 = A2 @ A2
+
+    def block(k):
+        return c[k] * I + c[k + 1] * As + c[k + 2] * A2 + c[k + 3] * A3
+
+    R = block(12) + c[16] * A4
+    R = block(8) + A4 @ R
+    R = block(4) + A4 @ R
+    return block(0) + A4 @ R
+
+
+@partial(jax.jit, static_argnames=("max_squarings", "method"))
+def expm(A: jnp.ndarray, max_squarings: int = 12,
+         method: str = "auto") -> jnp.ndarray:
+    """exp(A) for A of shape (..., D, D), complex or real.
+
+    Batched over leading dims. `max_squarings` bounds the masked squaring
+    loop; every trip is a full batched matmul, so pass a tight bound when
+    the operand norms are known host-side (the default 12 covers
+    ||A||_1 up to ~2.2e4/7.4e3, far beyond any segment Liouvillian).
+
+    method: "pade13" | "taylor16" | "auto" (taylor16 for 32-bit dtypes —
+    matmul-only, no TPU-hostile LU solve; pade13 for 64-bit).
+    """
+    A = jnp.asarray(A)
+    if method == "auto":
+        method = "taylor16" if A.dtype in (jnp.complex64, jnp.float32) \
+            else "pade13"
+    D = A.shape[-1]
+    I = jnp.broadcast_to(jnp.eye(D, dtype=A.dtype), A.shape)
+
+    if method == "taylor16":
+        As, s = _scale(A, _THETA16, max_squarings)
+        R = _taylor16(As, I)
+    elif method == "pade13":
+        As, s = _scale(A, _THETA13, max_squarings)
+        R = _pade13(As, I)
+    else:
+        raise ValueError(f"Unknown expm method '{method}'; "
+                         f"expected 'pade13', 'taylor16' or 'auto'")
+    return _square(R, s, max_squarings)
+
+
+def expm_apply(A: jnp.ndarray, X: jnp.ndarray, max_squarings: int = 12) -> jnp.ndarray:
     """exp(A) @ X without materializing exp(A) separately (same cost here;
     provided for API symmetry with sparse/Krylov backends added later)."""
     return expm(A, max_squarings=max_squarings) @ X

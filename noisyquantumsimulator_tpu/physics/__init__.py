@@ -1,1 +1,2 @@
-from . import laser, noise_rates, protocols, pulses, trap  # noqa: F401
+from . import (cavity_qed, laser, noise_rates, protocols, pulses,  # noqa: F401
+               transport, trap, trapped_ions)

@@ -174,6 +174,105 @@ def sideband_cooling_limit(omega_mode: float, linewidth: float) -> float:
     return (linewidth / (2.0 * omega_mode)) ** 2
 
 
+# ---------------------------------------------------------------------------
+# RF Paul trap micromotion (micro_physics/trapped_ions/paul spec)
+# ---------------------------------------------------------------------------
+
+def paul_stability(q: float, a: float = 0.0) -> dict:
+    """Mathieu stability parameters of an RF Paul trap.
+
+    Lowest stability region requires |a| small and q < ~0.908; the secular
+    frequency in the pseudopotential approximation is
+    omega_sec = (Omega_rf / 2) sqrt(a + q^2 / 2)."""
+    stable = abs(q) < 0.908 and abs(a) < 0.237 and (a + q * q / 2.0) > 0
+    beta = np.sqrt(max(a + q * q / 2.0, 0.0))
+    return {"q": q, "a": a, "stable": bool(stable), "beta": float(beta)}
+
+
+def paul_micromotion(
+    omega_rf: float = TWO_PI * 30e6,
+    q: float = 0.25,
+    a: float = 0.0,
+    excess_field: float = 0.0,        # stray DC field [V/m]
+    charge: float = 1.602176634e-19,
+    mass: float = ION_MASSES["Yb171"],
+    wavelength: float = 369.5e-9,
+) -> dict:
+    """Micromotion amplitude and its error contributions.
+
+    Intrinsic micromotion amplitude is (q/2) x_secular; excess micromotion
+    from a stray field E displaces the ion by u0 = e E / (m omega_sec^2)
+    and adds driven motion of amplitude (q/2) u0, producing second-order
+    Doppler shifts and modulation-index sidebands on the drive lasers."""
+    st = paul_stability(q, a)
+    omega_sec = 0.5 * omega_rf * st["beta"]
+    u0 = charge * excess_field / (mass * max(omega_sec, 1.0) ** 2)
+    amp_excess = 0.5 * q * abs(u0)
+    v_mm = amp_excess * omega_rf
+    c = 299792458.0
+    doppler_2nd = 0.5 * (v_mm / c) ** 2                # fractional shift
+    k = TWO_PI / wavelength
+    mod_index = k * amp_excess                         # laser phase mod
+    return {"omega_secular": float(omega_sec), "stable": st["stable"],
+            "excess_displacement": float(u0),
+            "micromotion_amplitude": float(amp_excess),
+            "second_order_doppler": float(doppler_2nd),
+            "modulation_index": float(mod_index),
+            "carrier_suppression": float(np.cos(mod_index) ** 2
+                                         if mod_index < 2.4 else 0.0)}
+
+
+# ---------------------------------------------------------------------------
+# Penning trap rotating crystal (micro_physics/trapped_ions/penning spec)
+# ---------------------------------------------------------------------------
+
+def penning_frequencies(
+    B: float = 4.5,                    # magnetic field [T]
+    omega_z: float = TWO_PI * 800e3,   # axial frequency
+    charge: float = 1.602176634e-19,
+    mass: float = ION_MASSES["Be9"],
+) -> dict:
+    """Single-particle eigenfrequencies of a Penning trap: cyclotron
+    omega_c = eB/m splits into modified cyclotron omega_+ and magnetron
+    omega_- with omega_+/- = omega_c/2 +- sqrt(omega_c^2/4 - omega_z^2/2).
+    Stability requires omega_c^2 > 2 omega_z^2."""
+    omega_c = charge * B / mass
+    disc = omega_c ** 2 / 4.0 - omega_z ** 2 / 2.0
+    stable = disc > 0
+    root = np.sqrt(max(disc, 0.0))
+    return {"omega_cyclotron": float(omega_c),
+            "omega_plus": float(omega_c / 2.0 + root),
+            "omega_minus": float(omega_c / 2.0 - root),
+            "omega_axial": float(omega_z),
+            "stable": bool(stable)}
+
+
+def penning_crystal(
+    n_ions: int = 100,
+    B: float = 4.5,
+    omega_z: float = TWO_PI * 800e3,
+    omega_rot: float = TWO_PI * 45e3,    # rotating-wall frequency (NIST-like)
+    mass: float = 1.496e-26,             # Be9 [kg]
+    charge: float = 1.602176634e-19,
+) -> dict:
+    """2D crystal properties in the rotating frame: effective radial
+    confinement omega_r^2 = omega_rot (omega_c - omega_rot) - omega_z^2/2;
+    planar for omega_r < omega_z; crystal radius from the Coulomb balance
+    R ~ (N e^2 / (4 pi eps0 m omega_r^2))^(1/3)."""
+    eps0 = 8.8541878128e-12
+    omega_c = charge * B / mass
+    wr2 = omega_rot * (omega_c - omega_rot) - omega_z ** 2 / 2.0
+    planar = 0.0 < wr2 < omega_z ** 2
+    wr2 = max(wr2, 1.0)
+    R = (n_ions * charge ** 2 / (4 * np.pi * eps0 * mass * wr2)) ** (1 / 3)
+    return {"omega_radial_eff": float(np.sqrt(wr2)),
+            "planar": bool(planar), "radius": float(R),
+            "spacing_estimate": float(R / max(np.sqrt(n_ions), 1.0) * 2.0),
+            "n_ions": n_ions}
+
+
 __all__ = ["ION_MASSES", "lamb_dicke_parameter", "axial_mode_frequencies",
            "MSGateResult", "ms_gate", "ShuttleResult", "shuttle",
-           "fluorescence_readout", "sideband_cooling_limit"]
+           "fluorescence_readout", "sideband_cooling_limit",
+           "paul_stability", "paul_micromotion", "penning_frequencies",
+           "penning_crystal"]

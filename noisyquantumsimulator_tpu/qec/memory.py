@@ -17,6 +17,7 @@ import jax
 
 from .circuits import Circuit
 from .decoders import decoder_for_circuit
+from .fast_sampler import build_fast_sampler
 from .pauli_frame import build_sampler
 from .surface_code import logical_error_rate, memory_z_circuit
 
@@ -55,14 +56,27 @@ def run_memory(
     seed: int = 0,
     circuit: Optional[Circuit] = None,
     max_defects: int = 32,
+    sampler_kind: str = "fast",
 ) -> MemoryResult:
-    """Surface-code memory-Z experiment."""
+    """Surface-code memory-Z experiment.
+
+    sampler_kind: "fast" uses the one-matmul MXU sampler
+    (fast_sampler.py); "frame" the per-instruction Pauli-frame sampler.
+    Both are circuit-exact; "fast" falls back to "frame" automatically for
+    circuits with non-deterministic detectors.
+    """
     rounds = rounds if rounds is not None else d
     if circuit is None:
         circuit = memory_z_circuit(d, rounds, noise=noise, p=p,
                                    cz_pauli_probs=cz_pauli_probs)
 
-    sampler = build_sampler(circuit, shots)
+    if sampler_kind == "fast":
+        try:
+            sampler = build_fast_sampler(circuit, shots)
+        except ValueError:
+            sampler = build_sampler(circuit, shots)
+    else:
+        sampler = build_sampler(circuit, shots)
     dec = decoder_for_circuit(circuit, kind=decoder, max_defects=max_defects)
 
     # compile outside the timed region

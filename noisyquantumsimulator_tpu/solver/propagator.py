@@ -61,22 +61,31 @@ def segment_liouvillians(L0, Cp, Cm, schedule: Schedule, Cd=None):
     return Ls * dt[:, None, None]
 
 
-@partial(jax.jit, static_argnames=())
-def total_propagator(L0, Cp, Cm, schedule: Schedule, Cd=None):
-    """exp(L_n dt_n) ... exp(L_1 dt_1) as one (D^2, D^2) matrix."""
+@partial(jax.jit, static_argnames=("max_squarings", "expm_method"))
+def total_propagator(L0, Cp, Cm, schedule: Schedule, Cd=None,
+                     max_squarings: int = 12, expm_method: str = "auto"):
+    """exp(L_n dt_n) ... exp(L_1 dt_1) as one (D^2, D^2) matrix.
+
+    `max_squarings`/`expm_method` tune the expm kernel; callers with
+    host-known schedules (gate/simulate.run_plan) pass a tight squaring
+    bound since every masked loop trip costs a full batched matmul.
+    """
     A = segment_liouvillians(L0, Cp, Cm, schedule, Cd)
-    U = expm(A)
+    U = expm(A, max_squarings=max_squarings, method=expm_method)
     return chained_product(U)
 
 
-@partial(jax.jit, static_argnames=())
-def evolve_rhos(L0, Cp, Cm, schedule: Schedule, rho0s, Cd=None):
+@partial(jax.jit, static_argnames=("max_squarings", "expm_method"))
+def evolve_rhos(L0, Cp, Cm, schedule: Schedule, rho0s, Cd=None,
+                max_squarings: int = 12, expm_method: str = "auto"):
     """Evolve a batch of density matrices through the schedule.
 
     rho0s: (B, D, D) -> (B, D, D)
     """
     B, D, _ = rho0s.shape
-    U = total_propagator(L0, Cp, Cm, schedule, Cd)
+    U = total_propagator(L0, Cp, Cm, schedule, Cd,
+                         max_squarings=max_squarings,
+                         expm_method=expm_method)
     vec = rho0s.reshape(B, D * D)
     out = vec @ U.T  # (B, D^2) x (D^2, D^2)^T == (U @ vec_b) batched
     return out.reshape(B, D, D)

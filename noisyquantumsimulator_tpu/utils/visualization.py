@@ -138,6 +138,49 @@ def plot_logical_error_scaling(results: Dict[tuple, float],
     return path
 
 
+def plot_surface_code_layout(layout, path: str = "layout.png"):
+    """Data/ancilla layout of a rotated surface code
+    (reference utils spec: 'layout plotting'; qec/surface_code.build_layout
+    provides the coordinates)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 5))
+    dx = np.array(list(layout.data))            # coord -> index dicts
+    ax.scatter(dx[:, 0], dx[:, 1], s=90, marker="o", c="k", label="data")
+    for kind, color in (("x_anc", "tab:red"), ("z_anc", "tab:blue")):
+        anc = getattr(layout, kind)
+        if len(anc):
+            a = np.asarray(list(anc))
+            ax.scatter(a[:, 0], a[:, 1], s=60, marker="s", c=color,
+                       label=kind.replace("_anc", "").upper() + " ancilla")
+    ax.set_aspect("equal")
+    ax.legend(fontsize=8)
+    ax.set_title(f"rotated surface code d={layout.d}")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def plot_syndrome_history(detectors, d: int, rounds: int,
+                          shot: int = 0, path: str = "syndrome.png"):
+    """Detector firings of one shot as a (round x ancilla) raster
+    (reference utils spec: 'syndrome plotting')."""
+    plt = _plt()
+    det = np.asarray(detectors)[shot]
+    n_anc = det.shape[0] // max(rounds + 1, 1)
+    grid = det[: n_anc * (rounds + 1)].reshape(rounds + 1, n_anc)
+    fig, ax = plt.subplots(figsize=(6, 3))
+    ax.imshow(grid, aspect="auto", cmap="Reds", interpolation="nearest")
+    ax.set_xlabel("ancilla index")
+    ax.set_ylabel("round")
+    ax.set_title(f"syndrome history, shot {shot} (d={d})")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 __all__ = ["plot_exploration_results", "plot_pareto_comparison",
            "plot_parameter_heatmap", "plot_noise_breakdown",
-           "plot_sweep_grid", "plot_logical_error_scaling"]
+           "plot_sweep_grid", "plot_logical_error_scaling",
+           "plot_surface_code_layout", "plot_syndrome_history"]

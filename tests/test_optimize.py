@@ -144,3 +144,17 @@ class TestSweeps:
         res = hardware_sweep("temperature", [2e-6, 50e-6],
                              protocol="smooth_jp")
         assert res.fidelity[0] > res.fidelity[1]
+
+
+class TestLegacyShims:
+    def test_deprecation_and_delegation(self):
+        import warnings
+        from noisyquantumsimulator_tpu.optimize import jp_legacy
+        from noisyquantumsimulator_tpu.optimize.forward import (
+            get_jp_bangbang_bounds_and_x0)
+        _, x0 = get_jp_bangbang_bounds_and_x0(5)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            c = jp_legacy.jp_bangbang_cost(x0)
+        assert np.isfinite(c)
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)

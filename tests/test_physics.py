@@ -260,3 +260,57 @@ class TestPulses:
     def test_unknown_shape_raises(self):
         with pytest.raises(ValueError):
             pulses.get_pulse_envelope("triangle", np.linspace(0, 1, 5), 1.0)
+
+
+class TestTransport:
+    def test_slow_move_is_cold(self):
+        from noisyquantumsimulator_tpu.physics.transport import simulate_transport
+        r = simulate_transport(distance=50e-6, duration=300e-6)
+        assert r.energy_gain_quanta < 0.1
+        assert r.survival_probability > 0.999
+
+    def test_fast_move_heats(self):
+        from noisyquantumsimulator_tpu.physics.transport import simulate_transport
+        slow = simulate_transport(duration=200e-6)
+        fast = simulate_transport(duration=50e-6)
+        assert fast.energy_gain_quanta > 100 * slow.energy_gain_quanta
+
+    def test_min_jerk_heats_less_on_average(self):
+        # at any single duration either profile can hit a spectral null of
+        # the acceleration at omega_trap, so compare geometric means over a
+        # duration sweep: the smoother profile must win on average
+        from noisyquantumsimulator_tpu.physics.transport import simulate_transport
+        Ts = np.linspace(40e-6, 200e-6, 8)
+        def gm(profile):
+            qs = [simulate_transport(duration=float(T), profile=profile
+                                     ).energy_gain_quanta for T in Ts]
+            return np.exp(np.mean(np.log(np.maximum(qs, 1e-12))))
+        assert gm("min_jerk") < gm("trapezoid")
+
+
+class TestIonTraps:
+    def test_paul_stability_boundary(self):
+        from noisyquantumsimulator_tpu.physics.trapped_ions import paul_stability
+        assert paul_stability(0.3)["stable"]
+        assert not paul_stability(1.0)["stable"]
+
+    def test_micromotion_scales_with_stray_field(self):
+        from noisyquantumsimulator_tpu.physics.trapped_ions import paul_micromotion
+        lo = paul_micromotion(excess_field=1.0)
+        hi = paul_micromotion(excess_field=100.0)
+        assert hi["micromotion_amplitude"] > 50 * lo["micromotion_amplitude"]
+        assert hi["carrier_suppression"] < lo["carrier_suppression"]
+
+    def test_penning_hierarchy(self):
+        from noisyquantumsimulator_tpu.physics.trapped_ions import penning_frequencies
+        f = penning_frequencies()
+        assert f["stable"]
+        # omega_- < omega_z < omega_+ and omega_+ + omega_- == omega_c
+        assert f["omega_minus"] < f["omega_axial"] < f["omega_plus"]
+        assert np.isclose(f["omega_plus"] + f["omega_minus"],
+                          f["omega_cyclotron"])
+
+    def test_penning_planar_crystal(self):
+        from noisyquantumsimulator_tpu.physics.trapped_ions import penning_crystal
+        c = penning_crystal()
+        assert c["planar"] and 1e-6 < c["radius"] < 1e-3

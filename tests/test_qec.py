@@ -157,3 +157,81 @@ class TestMemoryExperiments:
         # invert: (1 - (1-2 p_r)^rounds)/2 == p_shot
         p_r = r["p_logical_round"]
         assert (1 - (1 - 2 * p_r) ** 5) / 2 == pytest.approx(0.01, rel=1e-9)
+
+
+class TestFastSampler:
+    """One-matmul MXU sampler must be statistically identical to the
+    per-instruction frame sampler."""
+
+    def test_detector_rates_match_frame_sampler(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        from noisyquantumsimulator_tpu.qec.pauli_frame import build_sampler
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+        c = memory_z_circuit(3, rounds=2, p=0.02)
+        shots = 60000
+        of = build_fast_sampler(c, shots)(jax.random.PRNGKey(0))
+        os_ = build_sampler(c, shots)(jax.random.PRNGKey(1))
+        rf = np.asarray(of["detectors"]).mean(0)
+        rs = np.asarray(os_["detectors"]).mean(0)
+        assert np.abs(rf - rs).max() < 6.0 * np.sqrt(rs.mean() / shots)
+
+    def test_noiseless_silent(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+        c = memory_z_circuit(3, rounds=2, p=0.0)
+        out = build_fast_sampler(c, 64)(jax.random.PRNGKey(0))
+        assert not np.asarray(out["detectors"]).any()
+        assert not np.asarray(out["observables"]).any()
+
+    def test_memory_logical_rate_matches_frame_path(self):
+        r_fast = run_memory(d=3, p=3e-3, shots=40000, seed=5)
+        r_frame = run_memory(d=3, p=3e-3, shots=40000, seed=5,
+                             sampler_kind="frame")
+        # both estimate the same p_L; allow 4-sigma MC slack
+        n = 40000
+        pl = max(r_frame.p_logical_shot, 1.0 / n)
+        sigma = np.sqrt(pl * (1 - pl) / n)
+        assert abs(r_fast.p_logical_shot - r_frame.p_logical_shot) < 4 * sigma + 2e-3
+
+    def test_measurement_flip_sites(self):
+        # circuit with ONLY measurement flip noise: detectors fire at 2p(1-p)
+        import jax
+        from noisyquantumsimulator_tpu.qec.circuits import Circuit
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        c = Circuit(n_qubits=1)
+        p = 0.05
+        c.append("R", [0])
+        c.append("MR", [0], arg=p)
+        c.append("MR", [0], arg=p)
+        c.detector([-1, -2])
+        out = build_fast_sampler(c, 200000)(jax.random.PRNGKey(2))
+        rate = float(np.asarray(out["detectors"]).mean())
+        expect = 2 * p * (1 - p)
+        assert abs(rate - expect) < 0.005
+
+
+class TestColorCode:
+    def test_families(self):
+        from noisyquantumsimulator_tpu.qec.color_code import triangular_color_code
+        for d, n in ((3, 7), (5, 19), (7, 37)):
+            c = triangular_color_code(d)
+            assert (c.n, c.k) == (n, 1)
+            assert set(np.unique(c.H.sum(1))) <= {4, 6}
+            assert c.transversal_gates() == ("CX", "H", "S")
+
+    def test_steane_is_d3(self):
+        from noisyquantumsimulator_tpu.qec.color_code import steane_code
+        assert steane_code().n == 7
+
+    def test_memory_subthreshold_scaling(self):
+        from noisyquantumsimulator_tpu.qec.color_code import run_color_memory
+        r3 = run_color_memory(3, p=0.02, shots=20000, seed=1)
+        r5 = run_color_memory(5, p=0.02, shots=20000, seed=1)
+        assert r5.p_logical_shot < r3.p_logical_shot
+
+    def test_even_d_rejected(self):
+        from noisyquantumsimulator_tpu.qec.color_code import triangular_color_code
+        with pytest.raises(ValueError):
+            triangular_color_code(4)

@@ -36,6 +36,41 @@ class TestExpm:
         Z = jnp.zeros((4, 4), dtype=jnp.complex128)
         assert np.allclose(np.asarray(expm(Z)), np.eye(4))
 
+    def test_taylor16_matches_pade(self, rng):
+        """The matmul-only TPU kernel must agree with Pade-13 at both
+        precisions (complex64 within f32 roundoff)."""
+        A = rng.normal(size=(4, 9, 9)) + 1j * rng.normal(size=(4, 9, 9))
+        A *= np.array([0.2, 2, 8, 40])[:, None, None]
+        ref = np.stack([scipy_expm(a) for a in A])
+        t64 = np.asarray(expm(jnp.asarray(A), method="taylor16"))
+        assert np.abs(t64 - ref).max() / np.abs(ref).max() < 1e-11
+        # complex64 check on skew-Hermitian operands (bounded exponentials —
+        # generic norm-40 matrices overflow f32 regardless of the kernel)
+        H = rng.normal(size=(4, 9, 9)) + 1j * rng.normal(size=(4, 9, 9))
+        S = 1j * (H + H.conj().swapaxes(-1, -2))
+        S *= np.array([0.2, 2, 8, 40])[:, None, None] / np.abs(
+            S).sum(axis=-2).max(axis=-1)[:, None, None]
+        ref32 = np.stack([scipy_expm(s) for s in S])
+        t32 = np.asarray(expm(jnp.asarray(S.astype(np.complex64)),
+                              method="taylor16"))
+        assert np.abs(t32 - ref32).max() < 5e-5
+
+    def test_taylor16_grad_matches_pade_grad(self, rng):
+        import jax
+        A = jnp.asarray(rng.normal(size=(5, 5))
+                        + 1j * rng.normal(size=(5, 5)))
+
+        def tr(method):
+            return lambda s: jnp.real(jnp.trace(expm(s * A, method=method)))
+
+        g_t = jax.grad(tr("taylor16"))(0.7)
+        g_p = jax.grad(tr("pade13"))(0.7)
+        assert np.isclose(float(g_t), float(g_p), rtol=1e-9)
+
+    def test_unknown_method_raises(self):
+        with pytest.raises(ValueError, match="expm method"):
+            expm(jnp.zeros((2, 2)), method="bogus")
+
     def test_chained_product_order(self, rng):
         U = rng.normal(size=(9, 3, 3)) + 1j * rng.normal(size=(9, 3, 3))
         got = np.asarray(chained_product(jnp.asarray(U)))
