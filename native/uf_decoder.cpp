@@ -1,4 +1,5 @@
-// Native matching decoder for the QEC layer.
+// Native matching decoder for the QEC layer: exact MWPM (bitmask DP) for
+// up to 12 defects per shot, greedy + 2-opt beyond.
 //
 // Host-side counterpart of qec/decoders.MatchingDecoder: consumes the same
 // precomputed all-pairs shortest-path distance / observable-parity tables
@@ -27,9 +28,52 @@ struct Ctx {
     inline int P(int a, int b) const { return parity[a * n_nodes + b]; }
 };
 
+// Exact minimum-weight matching with boundary via bitmask DP, O(2^k k).
+// Every defect either pairs with another defect (direct path cost) or
+// with the boundary; this is exact MWPM on the complete defect graph.
+constexpr int kExactMaxDefects = 12;   // 4096 * 12 ops per shot
+
+int decode_exact(const Ctx& ctx, const std::vector<int>& defects,
+                 std::vector<double>& dp, std::vector<int8_t>& choice) {
+    const int B = ctx.n_nodes - 1;
+    const int k = static_cast<int>(defects.size());
+    const int full = 1 << k;
+    dp.assign(full, kInf);
+    choice.assign(full, -2);
+    dp[0] = 0.0;
+    for (int S = 1; S < full; ++S) {
+        int i = __builtin_ctz(S);
+        int S1 = S ^ (1 << i);
+        double best = ctx.D(defects[i], B) + dp[S1];
+        int8_t bj = -1;
+        for (int rest = S1; rest; rest &= rest - 1) {
+            int j = __builtin_ctz(rest);
+            double c = ctx.D(defects[i], defects[j]) + dp[S1 ^ (1 << j)];
+            if (c < best) { best = c; bj = static_cast<int8_t>(j); }
+        }
+        dp[S] = best;
+        choice[S] = bj;
+    }
+    int par = 0;
+    int S = full - 1;
+    while (S) {
+        int i = __builtin_ctz(S);
+        int8_t bj = choice[S];
+        if (bj < 0) {
+            par ^= ctx.P(defects[i], B);
+            S ^= 1 << i;
+        } else {
+            par ^= ctx.P(defects[i], defects[bj]);
+            S ^= (1 << i) | (1 << bj);
+        }
+    }
+    return par & 1;
+}
+
 // Greedy min-weight pairing over effective costs
 // (direct path vs both-to-boundary), then 2-opt improvement.
-int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det) {
+int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det,
+               std::vector<double>& dp, std::vector<int8_t>& choice) {
     const int B = ctx.n_nodes - 1;
     std::vector<int> defects;
     defects.reserve(16);
@@ -38,6 +82,7 @@ int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det) {
 
     const int k = static_cast<int>(defects.size());
     if (k == 0) return 0;
+    if (k <= kExactMaxDefects) return decode_exact(ctx, defects, dp, choice);
 
     // partner[i] = index into defects, or -1 for boundary
     std::vector<int> partner(k, -2);
@@ -143,9 +188,11 @@ void uf_destroy(void* handle) { delete static_cast<Ctx*>(handle); }
 void uf_decode_batch(void* handle, const uint8_t* dets, int shots, int n_det,
                      uint8_t* out) {
     const Ctx& ctx = *static_cast<Ctx*>(handle);
+    std::vector<double> dp;        // DP scratch reused across shots
+    std::vector<int8_t> choice;
     for (int s = 0; s < shots; ++s)
-        out[s] = static_cast<uint8_t>(
-            decode_one(ctx, dets + static_cast<size_t>(s) * n_det, n_det));
+        out[s] = static_cast<uint8_t>(decode_one(
+            ctx, dets + static_cast<size_t>(s) * n_det, n_det, dp, choice));
 }
 
 }  // extern "C"

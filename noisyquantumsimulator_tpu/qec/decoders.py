@@ -228,6 +228,12 @@ def decoder_for_circuit(circuit, kind: str = "matching",
                                max_defects=max_defects)
     if kind in ("uf", "union_find"):
         return UnionFindDecoder(circuit.n_detectors, edges, probs, obs)
+    if kind in ("native", "exact", "native_mwpm"):
+        from .native import NativeMatchingDecoder, native_available
+        if not native_available():
+            raise RuntimeError("native decoder library not built; "
+                               "run `make -C native`")
+        return NativeMatchingDecoder(circuit.n_detectors, edges, probs, obs)
     raise ValueError(f"Unknown decoder kind: {kind}")
 
 

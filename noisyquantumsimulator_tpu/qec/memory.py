@@ -52,7 +52,7 @@ def run_memory(
     shots: int = 10000,
     noise: str = "circuit",
     cz_pauli_probs: Optional[np.ndarray] = None,
-    decoder: str = "matching",
+    decoder: str = "auto",
     seed: int = 0,
     circuit: Optional[Circuit] = None,
     max_defects: int = 32,
@@ -69,6 +69,13 @@ def run_memory(
     if circuit is None:
         circuit = memory_z_circuit(d, rounds, noise=noise, p=p,
                                    cz_pauli_probs=cz_pauli_probs)
+
+    if decoder == "auto":
+        # native exact-MWPM (<=12 defects, greedy beyond) when built:
+        # strictly better accuracy AND ~1000x faster than the batched
+        # greedy for host-side decoding
+        from .native import native_available
+        decoder = "native" if native_available() else "matching"
 
     if sampler_kind == "fast":
         try:

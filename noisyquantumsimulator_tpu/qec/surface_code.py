@@ -33,10 +33,12 @@ from .circuits import Circuit
 
 @dataclass(frozen=True)
 class SurfaceCodeLayout:
-    d: int
+    d: int                                    # min(w, h) for rectangles
     data: Dict[Tuple[int, int], int]          # coord -> qubit index
     x_anc: Dict[Tuple[int, int], int]
     z_anc: Dict[Tuple[int, int], int]
+    w: int = 0                                # data columns (0 = square d)
+    h: int = 0                                # data rows
 
     @property
     def n_qubits(self) -> int:
@@ -55,17 +57,22 @@ class SurfaceCodeLayout:
         return [self.x_anc[c] for c in sorted(self.x_anc)]
 
 
-def build_layout(d: int) -> SurfaceCodeLayout:
-    """Rotated surface code coordinates (the standard construction)."""
+def build_rect_layout(w: int, h: int) -> SurfaceCodeLayout:
+    """Rectangular rotated surface code: w data columns x h data rows.
+
+    Distance against X errors is w (logical Z = a data row), against Z
+    errors is h (logical X = a data column); k = 1. Rectangles are the
+    building block for lattice surgery (a rough ZZ merge of two d-patches
+    is the (2d+1) x d rectangle — see lattice_surgery.py)."""
     data = {}
     idx = 0
-    for i in range(d):
-        for j in range(d):
+    for i in range(w):
+        for j in range(h):
             data[(2 * i + 1, 2 * j + 1)] = idx
             idx += 1
     x_anc, z_anc = {}, {}
-    for x in range(0, 2 * d + 1, 2):
-        for y in range(0, 2 * d + 1, 2):
+    for x in range(0, 2 * w + 1, 2):
+        for y in range(0, 2 * h + 1, 2):
             # plaquette center (x, y); type by checkerboard
             neighbors = [(x - 1, y - 1), (x - 1, y + 1),
                          (x + 1, y - 1), (x + 1, y + 1)]
@@ -76,33 +83,41 @@ def build_layout(d: int) -> SurfaceCodeLayout:
             # boundary rules of the rotated code: 2-body X checks live on
             # top/bottom rows, 2-body Z checks on left/right columns
             if n_data == 2:
-                if is_x_type and not (y == 0 or y == 2 * d):
+                if is_x_type and not (y == 0 or y == 2 * h):
                     continue
-                if not is_x_type and not (x == 0 or x == 2 * d):
+                if not is_x_type and not (x == 0 or x == 2 * w):
                     continue
             if is_x_type:
                 x_anc[(x, y)] = idx
             else:
                 z_anc[(x, y)] = idx
             idx += 1
-    lay = SurfaceCodeLayout(d=d, data=data, x_anc=x_anc, z_anc=z_anc)
+    lay = SurfaceCodeLayout(d=min(w, h), data=data, x_anc=x_anc,
+                            z_anc=z_anc, w=w, h=h)
     _validate_layout(lay)
     return lay
 
 
+def build_layout(d: int) -> SurfaceCodeLayout:
+    """Rotated surface code coordinates (the standard square construction)."""
+    return build_rect_layout(d, d)
+
+
 def _validate_layout(lay: SurfaceCodeLayout) -> None:
     """Stabilizer-group sanity: counts, mutual commutation, logical ops."""
-    d = lay.d
+    w = lay.w or lay.d
+    h = lay.h or lay.d
 
     def support(center):
         x, y = center
         return {c for c in ((x - 1, y - 1), (x - 1, y + 1),
                             (x + 1, y - 1), (x + 1, y + 1)) if c in lay.data}
 
-    assert len(lay.x_anc) == (d * d - 1) // 2, "X stabilizer count"
-    assert len(lay.z_anc) == (d * d - 1) // 2, "Z stabilizer count"
-    logical_z = {(2 * i + 1, 1) for i in range(d)}       # bottom row
-    logical_x = {(1, 2 * j + 1) for j in range(d)}       # left column
+    assert len(lay.x_anc) + len(lay.z_anc) == w * h - 1, "stabilizer count"
+    if w == h:
+        assert len(lay.x_anc) == (w * h - 1) // 2, "X stabilizer count"
+    logical_z = {(2 * i + 1, 1) for i in range(w)}       # bottom row
+    logical_x = {(1, 2 * j + 1) for j in range(h)}       # left column
     for cx in lay.x_anc:
         for cz in lay.z_anc:
             assert len(support(cx) & support(cz)) % 2 == 0, "commutation"
@@ -126,9 +141,27 @@ def memory_z_circuit(
     p_meas: Optional[float] = None,
     p_reset: Optional[float] = None,
     p_idle: Optional[float] = None,
+    layout: Optional[SurfaceCodeLayout] = None,
+    extra_observables: Optional[List[List[int]]] = None,
+    plus_init_data: Optional[List[Tuple[int, int]]] = None,
+    indeterminate_z_round1: Optional[List[Tuple[int, int]]] = None,
+    logical_z_columns: Optional[List[int]] = None,
 ) -> Circuit:
-    """Memory-Z experiment circuit for the rotated surface code."""
-    lay = build_layout(d)
+    """Memory-Z experiment circuit for the rotated surface code.
+
+    layout: pass a rectangular layout (build_rect_layout) to override the
+    square d x d default — used by lattice_surgery.py.
+    extra_observables: additional observables as lists of measurement-
+    record lookbacks *counted within the first round's ancilla block*
+    (0 = first Z ancilla of round 1); used for surgery logical products.
+    plus_init_data: data coordinates prepared in |+> instead of |0>
+    (lattice-surgery seam); their round-1 Z checks become indeterminate.
+    indeterminate_z_round1: Z-ancilla coordinates whose round-1 detector
+    must be dropped (outcomes random by design, e.g. seam-bridging checks).
+    logical_z_columns: restrict observable 0 to these data columns of the
+    bottom row (default: all columns).
+    """
+    lay = layout if layout is not None else build_layout(d)
     c = Circuit(n_qubits=lay.n_qubits)
     data_idx = lay.data_indices
     zanc = sorted(lay.z_anc)
@@ -183,12 +216,24 @@ def memory_z_circuit(
     n_anc = len(z_ids) + len(x_ids)
     n_z = len(z_ids)
 
+    # |+> seam preparation (lattice surgery): R then H before the first
+    # cycle — the reset's z-gauge randomization becomes the x-gauge of
+    # |+> under H, which is exactly the measurement randomness of Z reads
+    # on |+> (the frame sampler needs the gauge injected explicitly)
+    if plus_init_data:
+        seam_ids = [lay.data[cc] for cc in plus_init_data]
+        c.append("R", seam_ids)
+        c.append("H", seam_ids)
+    skip_r1 = {zanc.index(a) for a in (indeterminate_z_round1 or ())}
+
     for r in range(rounds):
         cycle(first=(r == 0))
         if r == 0:
-            # Z ancillas start deterministic for |0..0> memory
+            # Z ancillas start deterministic for |0..0> memory, except
+            # those declared indeterminate (seam-bridging checks)
             for k in range(n_z):
-                c.detector([-n_anc + k])
+                if k not in skip_r1:
+                    c.detector([-n_anc + k])
         else:
             for k in range(n_z):
                 c.detector([-n_anc + k, -2 * n_anc + k])
@@ -209,9 +254,20 @@ def memory_z_circuit(
         c.detector(recs)
 
     # logical Z: bottom row of data qubits (y = 1); commutes with every X
-    # stabilizer (checked in _validate_layout)
-    row = [i for i, cc in enumerate(data_coords) if cc[1] == 1]
+    # stabilizer (checked in _validate_layout). logical_z_columns restricts
+    # to a sub-patch row (surgery: read Z_L of one patch only).
+    cols = (set(logical_z_columns) if logical_z_columns is not None
+            else None)
+    row = [i for i, cc in enumerate(data_coords)
+           if cc[1] == 1 and (cols is None or (cc[0] - 1) // 2 in cols)]
     c.observable_include(0, [-n_data + i for i in row])
+
+    # extra observables (lattice surgery): indices into the round-1
+    # ancilla measurement block, converted to lookbacks from the end
+    if extra_observables:
+        total = rounds * n_anc + n_data
+        for oi, idxs in enumerate(extra_observables, start=1):
+            c.observable_include(oi, [-total + k for k in idxs])
     return c
 
 
@@ -257,5 +313,6 @@ def teraquop_footprint(p_round: float, d: int, target: float = 1e-12,
     return int(np.ceil(d + 2 * k))
 
 
-__all__ = ["SurfaceCodeLayout", "build_layout", "memory_z_circuit",
-           "code_metrics", "logical_error_rate", "teraquop_footprint"]
+__all__ = ["SurfaceCodeLayout", "build_layout", "build_rect_layout",
+           "memory_z_circuit", "code_metrics", "logical_error_rate",
+           "teraquop_footprint"]

@@ -235,3 +235,82 @@ class TestColorCode:
         from noisyquantumsimulator_tpu.qec.color_code import triangular_color_code
         with pytest.raises(ValueError):
             triangular_color_code(4)
+
+
+class TestLatticeSurgery:
+    def test_eigenstate_semantics(self):
+        """merge/split must read (z1, z2, z1*z2) exactly for all four
+        computational preparations, deterministically at p=0."""
+        import jax
+        from noisyquantumsimulator_tpu.qec.lattice_surgery import (
+            zz_merge_split_circuit)
+        from noisyquantumsimulator_tpu.qec.circuits import Instruction
+        from noisyquantumsimulator_tpu.qec.pauli_frame import build_sampler
+        d = 3
+        lay = zz_merge_split_circuit(d, p=0.0).layout
+        XL1 = [lay.data[(1, 2 * j + 1)] for j in range(d)]
+        XL2 = [lay.data[(4 * d + 1, 2 * j + 1)] for j in range(d)]
+        cases = [([], (0, 0, 0)), (XL1, (1, 0, 1)),
+                 (XL2, (0, 1, 1)), (XL1 + XL2, (1, 1, 0))]
+        for flips, want in cases:
+            sc = zz_merge_split_circuit(d, p=0.0)
+            if flips:
+                sc.circuit.instructions.insert(
+                    0, Instruction("X_ERROR", np.asarray(flips), 1.0, None))
+            out = build_sampler(sc.circuit, 64)(jax.random.PRNGKey(0))
+            obs = np.asarray(out["observables"])
+            assert all(obs[:, i].min() == obs[:, i].max() for i in range(3))
+            assert tuple(int(obs[0, i]) for i in range(3)) == want
+
+    def test_noiseless_silent(self):
+        from noisyquantumsimulator_tpu.qec.lattice_surgery import run_zz_surgery
+        r = run_zz_surgery(3, p=0.0, shots=500)
+        assert r["zz_error_rate_raw"] == 0.0
+        assert r["detector_fraction"] == 0.0
+
+    def test_noisy_error_grows_with_p(self):
+        from noisyquantumsimulator_tpu.qec.lattice_surgery import run_zz_surgery
+        lo = run_zz_surgery(3, p=5e-4, shots=20000, seed=1)
+        hi = run_zz_surgery(3, p=5e-3, shots=20000, seed=1)
+        assert 0 < lo["zz_error_rate_raw"] < hi["zz_error_rate_raw"]
+
+    def test_fast_sampler_accepts(self):
+        # the one-matmul sampler's gauge check is the determinism proof
+        import jax
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        from noisyquantumsimulator_tpu.qec.lattice_surgery import (
+            zz_merge_split_circuit)
+        sc = zz_merge_split_circuit(3, p=1e-3)
+        out = build_fast_sampler(sc.circuit, 256)(jax.random.PRNGKey(1))
+        assert out["observables"].shape == (256, 3)
+
+
+class TestRectLayout:
+    def test_rectangle_valid(self):
+        from noisyquantumsimulator_tpu.qec.surface_code import build_rect_layout
+        lay = build_rect_layout(7, 3)
+        assert len(lay.data) == 21
+        assert len(lay.x_anc) + len(lay.z_anc) == 20
+
+    def test_square_counts_unchanged(self):
+        from noisyquantumsimulator_tpu.qec.surface_code import build_layout
+        lay = build_layout(5)
+        assert len(lay.x_anc) == len(lay.z_anc) == 12
+
+
+class TestExactNativeDecoder:
+    def test_exact_beats_or_matches_greedy(self):
+        from noisyquantumsimulator_tpu.qec.native import native_available
+        if not native_available():
+            pytest.skip("native library not built")
+        r_n = run_memory(d=3, p=3e-3, shots=30000, decoder="native", seed=6)
+        r_g = run_memory(d=3, p=3e-3, shots=30000, decoder="matching", seed=6)
+        # exact MWPM can never be worse than greedy beyond MC noise
+        assert r_n.p_logical_shot <= r_g.p_logical_shot + 3e-3
+
+    def test_auto_selects_native(self):
+        from noisyquantumsimulator_tpu.qec.native import native_available
+        if not native_available():
+            pytest.skip("native library not built")
+        r = run_memory(d=3, p=1e-3, shots=2000, seed=7)
+        assert r.decoder == "native"
