@@ -67,7 +67,7 @@ int decode_exact(const Ctx& ctx, const std::vector<int>& defects,
             S ^= (1 << i) | (1 << bj);
         }
     }
-    return par & 1;
+    return par;
 }
 
 // Greedy min-weight pairing over effective costs
@@ -165,7 +165,7 @@ int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det,
             counted[i] = counted[j] = 1;
         }
     }
-    return par & 1;
+    return par;   // full observable bitmask (bit k = observable k)
 }
 
 }  // namespace

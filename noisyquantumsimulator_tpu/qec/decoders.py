@@ -156,10 +156,12 @@ class MatchingDecoder:
                                    max_defects=max_defects))
 
     def decode_batch(self, detectors) -> np.ndarray:
-        """detectors (S, n_det) -> predicted logical flips (S,)."""
+        """detectors (S, n_det) -> predicted logical-flip BITMASK (S,)
+        (bit k = predicted flip of observable k; take `& 1` for the
+        primary logical)."""
         t0 = time.perf_counter()
         out = self._fn(jnp.asarray(detectors))
-        out = np.asarray(out) & 1
+        out = np.asarray(out)
         self.last_decode_seconds = time.perf_counter() - t0
         return out
 
@@ -212,7 +214,7 @@ class UnionFindDecoder:
                                ^ self.parity[sub[j], B])
                 for k in sorted((int(i), int(j)), reverse=True):
                     defects.pop(k)
-            out[s] = par & 1
+            out[s] = par
         self.last_decode_seconds = time.perf_counter() - t0
         return out
 

@@ -298,13 +298,15 @@ def zz_merge_split_circuit(d: int, rounds_merge: int = 0,
 
 
 def run_zz_surgery(d: int = 3, rounds_merge: int = 0, rounds_after: int = 0,
-                   p: float = 1e-3, shots: int = 20000,
-                   seed: int = 0) -> Dict:
+                   p: float = 1e-3, shots: int = 20000, seed: int = 0,
+                   decode: bool = True) -> Dict:
     """Sample the full merge/split protocol with the one-matmul sampler.
 
-    Returns raw (undecoded) error rates: the ZZ-outcome flip rate and the
-    two patch logical flip rates, plus detector statistics for decoding
-    downstream."""
+    Returns raw (undecoded) flip rates for the ZZ outcome and both patch
+    logicals, plus — when decode=True — the DECODED error rates: the
+    matching decoder predicts each observable's flip from the detector
+    data (parity bitmask per shot), exactly as it does for memory
+    experiments."""
     import jax
     from .fast_sampler import build_fast_sampler
 
@@ -312,7 +314,7 @@ def run_zz_surgery(d: int = 3, rounds_merge: int = 0, rounds_after: int = 0,
     sampler = build_fast_sampler(sc.circuit, shots)
     out = sampler(jax.random.PRNGKey(seed))
     obs = np.asarray(out["observables"])
-    return {
+    res = {
         "d": d, "rounds_merge": sc.rounds_merge,
         "rounds_after": sc.rounds_after, "p": p, "shots": shots,
         "zz_error_rate_raw": float(obs[:, 2].mean()),
@@ -322,6 +324,20 @@ def run_zz_surgery(d: int = 3, rounds_merge: int = 0, rounds_after: int = 0,
         "detector_fraction": float(np.asarray(out["detectors"]).mean()),
         "n_zz_records": len(sc.zz_records),
     }
+    if decode and p > 0:
+        from .decoders import decoder_for_circuit
+        dets = np.asarray(out["detectors"])
+        try:
+            dec = decoder_for_circuit(sc.circuit, kind="native")
+        except (RuntimeError, OSError):
+            dec = decoder_for_circuit(sc.circuit, kind="matching")
+        pred = dec.decode_batch(dets)          # observable bitmask per shot
+        for oi, name in ((0, "patch1_logical_error"),
+                         (1, "patch2_logical_error"), (2, "zz_error_rate")):
+            corrected = obs[:, oi] ^ ((pred >> oi) & 1)
+            res[name + "_decoded"] = float(corrected.mean())
+        res["decode_seconds"] = dec.last_decode_seconds
+    return res
 
 
 __all__ = ["SurgeryCircuit", "merged_layout", "zz_merge_split_circuit",

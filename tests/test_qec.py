@@ -314,3 +314,25 @@ class TestExactNativeDecoder:
             pytest.skip("native library not built")
         r = run_memory(d=3, p=1e-3, shots=2000, seed=7)
         assert r.decoder == "native"
+
+
+class TestLDPCMovementPlanning:
+    def test_bb_extraction_plan(self):
+        from noisyquantumsimulator_tpu.qec.ldpc import bb_code
+        from noisyquantumsimulator_tpu.qec.ldpc_layout import plan_bb_extraction
+        Hx, _ = bb_code(6, 6, (3, 1, 2), (3, 1, 2))
+        p = plan_bb_extraction(Hx)
+        assert p.n_legs == int(Hx.sum())          # every check leg scheduled
+        assert p.n_waves <= p.n_legs
+        assert p.mean_parallelism > 1.0           # movement runs in parallel
+        assert 0 < p.cycle_time < 0.1
+        assert 0 < p.idle_error_budget < 0.1
+
+    def test_denser_code_costs_more(self):
+        from noisyquantumsimulator_tpu.qec.ldpc import bb_code
+        from noisyquantumsimulator_tpu.qec.ldpc_layout import plan_bb_extraction
+        Hs, _ = bb_code(6, 6, (3, 1, 2), (3, 1, 2))
+        Hbig, _ = bb_code(12, 6, (3, 1, 2), (3, 1, 2))
+        small = plan_bb_extraction(Hs)
+        big = plan_bb_extraction(Hbig)
+        assert big.total_move_distance > small.total_move_distance

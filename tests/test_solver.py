@@ -191,3 +191,76 @@ class TestPropagatorParity:
                                         jnp.asarray(Cm), sched))
         # noiseless superoperator propagator is unitary
         assert np.allclose(U @ U.conj().T, np.eye(U.shape[0]), atol=1e-8)
+
+
+class TestCircuitSimulators:
+    """The four simulation modes must agree: frame, fast (matmul),
+    trajectories (state-vector MC), density matrix (exact CPTP)."""
+
+    def _rep_circuit(self, p=0.05):
+        from noisyquantumsimulator_tpu.qec.circuits import Circuit
+        rep = Circuit(n_qubits=5)
+        rep.append("X_ERROR", [0, 2, 4], arg=p)
+        for a, (d1, d2) in ((1, (0, 2)), (3, (2, 4))):
+            rep.append("CX", np.array([[d1, a]]))
+            rep.append("CX", np.array([[d2, a]]))
+        rep.append("MR", [1, 3])
+        rep.detector([-2])
+        rep.detector([-1])
+        return rep
+
+    def test_four_engine_agreement(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        from noisyquantumsimulator_tpu.solver.circuit_sim import (
+            DensityMatrixSimulator, TrajectorySimulator)
+        p = 0.05
+        rep = self._rep_circuit(p)
+        exact = 2 * p * (1 - p)          # exactly one of the pair flipped
+        dm = np.asarray(DensityMatrixSimulator(rep).run()
+                        ["measurement_probs"])
+        assert np.allclose(dm, exact, atol=1e-6)
+        fast = build_fast_sampler(rep, 60000)(jax.random.PRNGKey(2))
+        traj = TrajectorySimulator(rep, trajectories=60000).sample(
+            jax.random.PRNGKey(3))
+        tol = 6 * np.sqrt(exact / 60000)
+        assert np.allclose(np.asarray(fast["detectors"]).mean(0), exact,
+                           atol=tol)
+        assert np.allclose(np.asarray(traj["measurements"]).mean(0), exact,
+                           atol=tol)
+
+    def test_bell_state_exact(self):
+        from noisyquantumsimulator_tpu.qec.circuits import Circuit
+        from noisyquantumsimulator_tpu.solver.circuit_sim import (
+            DensityMatrixSimulator)
+        c = Circuit(n_qubits=2)
+        c.append("H", [0])
+        c.append("CX", np.array([[0, 1]]))
+        rho = np.asarray(DensityMatrixSimulator(c).run()["rho"])
+        want = np.zeros((4, 4)); want[0, 0] = want[0, 3] = 0.5
+        want[3, 0] = want[3, 3] = 0.5
+        assert np.allclose(rho, want, atol=1e-6)
+
+    def test_trajectory_bell_correlations(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.circuits import Circuit
+        from noisyquantumsimulator_tpu.solver.circuit_sim import (
+            TrajectorySimulator)
+        c = Circuit(n_qubits=2)
+        c.append("H", [0])
+        c.append("CX", np.array([[0, 1]]))
+        c.append("M", [0])
+        c.append("M", [1])
+        m = np.asarray(TrajectorySimulator(c, 20000).sample(
+            jax.random.PRNGKey(0))["measurements"])
+        assert (m[:, 0] == m[:, 1]).all()          # perfect ZZ correlation
+        assert abs(m[:, 0].mean() - 0.5) < 0.02    # unbiased marginal
+
+    def test_qubit_limits(self):
+        from noisyquantumsimulator_tpu.qec.circuits import Circuit
+        from noisyquantumsimulator_tpu.solver.circuit_sim import (
+            DensityMatrixSimulator, TrajectorySimulator)
+        with pytest.raises(ValueError):
+            DensityMatrixSimulator(Circuit(n_qubits=13))
+        with pytest.raises(ValueError):
+            TrajectorySimulator(Circuit(n_qubits=15))
