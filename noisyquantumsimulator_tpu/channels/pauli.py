@@ -9,7 +9,7 @@ arbitrary channel (the bridge to the Layer-2 stochastic sampler).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -162,9 +162,15 @@ def rates_to_t1_t2(px: float, py: float, pz: float, duration: float
 # leakage / loss channels (noise_models/leakage.py, loss.py specs)
 # =============================================================================
 
+def _check_prob(p: float, name: str):
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"{name} must be in [0, 1], got {p}")
+
+
 def leakage_extended_kraus(p_leak: float, d_comp: int = 2) -> List[np.ndarray]:
     """Kraus set on a (d_comp + 1)-dim space modeling leakage from the top
     computational level to a leakage level."""
+    _check_prob(p_leak, "p_leak")
     d = d_comp + 1
     K0 = np.eye(d, dtype=complex)
     K0[d_comp - 1, d_comp - 1] = np.sqrt(1.0 - p_leak)
@@ -179,6 +185,46 @@ def loss_as_erasure_probs(gamma_loss: float, duration: float) -> float:
     return float(1.0 - np.exp(-gamma_loss * duration))
 
 
+def seepage_kraus(p_seep: float, d_comp: int = 2,
+                  branching: Optional[np.ndarray] = None
+                  ) -> List[np.ndarray]:
+    """Seepage: incoherent return from the leakage level into the
+    computational subspace (leakage.py spec 'leakage/seepage').
+
+    branching: probability distribution of the return level (default
+    uniform over the computational levels)."""
+    _check_prob(p_seep, "p_seep")
+    d = d_comp + 1
+    br = (np.full(d_comp, 1.0 / d_comp) if branching is None
+          else np.asarray(branching, dtype=float))
+    K0 = np.eye(d, dtype=complex)
+    K0[d_comp, d_comp] = np.sqrt(1.0 - p_seep)
+    ks = [K0]
+    for lvl in range(d_comp):
+        K = np.zeros((d, d), dtype=complex)
+        K[lvl, d_comp] = np.sqrt(p_seep * br[lvl])
+        ks.append(K)
+    return ks
+
+
+def leakage_reduction_unit(p_leaked: float, lru_fidelity: float = 0.999,
+                           reset_error: float = 1e-3) -> Dict[str, float]:
+    """Leakage Reduction Unit model (leakage.py spec 'LRU modeling'):
+    a swap-with-fresh-ancilla (or optical-pumping) cycle that converts
+    leakage population into computational-subspace depolarization.
+
+    Returns the post-LRU leakage population and the Pauli error the LRU
+    injects on non-leaked qubits."""
+    residual = p_leaked * (1.0 - lru_fidelity)
+    converted = p_leaked * lru_fidelity
+    return {
+        "leakage_before": p_leaked,
+        "leakage_after": float(residual),
+        "depolarizing_injected": float(converted + reset_error),
+        "herald_probability": float(converted),   # LRUs herald conversions
+    }
+
+
 __all__ = [
     "depolarizing_probs", "dephasing_probs", "bitflip_probs",
     "asymmetric_pauli_probs", "two_qubit_pauli_probs",
@@ -186,4 +232,5 @@ __all__ = [
     "twirled_error_probs", "fidelity_to_depolarizing_rate",
     "depolarizing_rate_to_fidelity", "t1_t2_to_pauli_rates",
     "rates_to_t1_t2", "leakage_extended_kraus", "loss_as_erasure_probs",
+    "seepage_kraus", "leakage_reduction_unit",
 ]

@@ -262,3 +262,41 @@ class TestMathUtils:
         rho = np.eye(2, dtype=complex) / 2
         assert float(purity(rho)) == pytest.approx(0.5)
         assert float(trace_distance(rho, rho)) == pytest.approx(0.0, abs=1e-12)
+
+
+class TestObservability:
+    def test_metrics_registry_roundtrip(self, tmp_path):
+        from noisyquantumsimulator_tpu.utils.observability import (
+            MetricsRegistry)
+        m = MetricsRegistry()
+        m.incr("sims", 5)
+        m.gauge("fidelity", 0.99)
+        with m.timer("solve"):
+            pass
+        m.event("calib", protocol="lp")
+        s = m.summary()
+        assert s["counters"]["sims"] == 5
+        assert s["gauges"]["fidelity"] == 0.99
+        assert "solve" in s["timings"]
+        path = tmp_path / "metrics.jsonl"
+        m.dump_jsonl(str(path))
+        assert path.exists() and path.read_text().strip()
+        m.reset()
+        assert m.summary()["counters"] == {}
+
+    def test_log_compile_time(self):
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.utils.observability import (
+            MetricsRegistry, log_compile_time)
+        import jax
+        reg = MetricsRegistry()
+        compiled = log_compile_time(lambda x: x * 2, jnp.ones(4),
+                                    registry=reg)
+        assert np.allclose(np.asarray(compiled(jnp.ones(4))), 2.0)
+        assert reg.timings["compile.compile_s"]
+
+    def test_device_memory_stats_shape(self):
+        from noisyquantumsimulator_tpu.utils.observability import (
+            device_memory_stats)
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)

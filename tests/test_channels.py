@@ -131,3 +131,19 @@ class TestCalibration:
         # dephasing-dominated: IZ/ZI dominate over IX/XI
         labels = rec.pauli_labels
         assert probs[labels.index("IZ")] > probs[labels.index("IX")]
+
+
+class TestLeakageSeepage:
+    def test_seepage_cptp(self):
+        from noisyquantumsimulator_tpu.channels.pauli import seepage_kraus
+        ks = seepage_kraus(0.2)
+        tot = sum(k.conj().T @ k for k in ks)
+        assert np.allclose(tot, np.eye(3))
+
+    def test_lru_conserves_probability(self):
+        from noisyquantumsimulator_tpu.channels.pauli import (
+            leakage_reduction_unit)
+        r = leakage_reduction_unit(0.02, lru_fidelity=0.99)
+        assert r["leakage_after"] < r["leakage_before"]
+        assert np.isclose(r["leakage_after"] + r["herald_probability"],
+                          r["leakage_before"])

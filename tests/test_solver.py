@@ -264,3 +264,22 @@ class TestCircuitSimulators:
             DensityMatrixSimulator(Circuit(n_qubits=13))
         with pytest.raises(ValueError):
             TrajectorySimulator(Circuit(n_qubits=15))
+
+
+class TestPallasSquaring:
+    def test_interpret_matches_reference(self, rng):
+        import jax
+        from noisyquantumsimulator_tpu.ops.expm_pallas import (
+            fused_masked_squaring)
+        B, D = 4, 16
+        R = ((rng.normal(size=(B, D, D)) + 1j * rng.normal(size=(B, D, D)))
+             * 0.1).astype(np.complex64)
+        s = np.array([0, 1, 3, 2], np.int32)
+        ref = R.copy()
+        for b in range(B):
+            for _ in range(s[b]):
+                ref[b] = ref[b] @ ref[b]
+        got = np.asarray(fused_masked_squaring(jnp.asarray(R),
+                                               jnp.asarray(s), 4,
+                                               interpret=True))
+        assert np.abs(got - ref).max() < 1e-4
