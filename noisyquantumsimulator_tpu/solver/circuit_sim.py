@@ -31,7 +31,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..qec.circuits import Circuit
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # Circuit is only an annotation; a runtime import would
+    from ..qec.circuits import Circuit  # cycle solver -> qec -> executor
 
 _H = np.array([[1, 1], [1, -1]], dtype=np.complex64) / np.sqrt(2)
 _S = np.diag([1, 1j]).astype(np.complex64)
@@ -76,7 +79,7 @@ class DensityMatrixSimulator:
     marginal p(1) arrays}. Measurements are treated as dephasing +
     recorded marginals (the exact ensemble view); R projects to |0>."""
 
-    def __init__(self, circuit: Circuit):
+    def __init__(self, circuit: 'Circuit'):
         self.circuit = circuit
         self.n = circuit.n_qubits
         if self.n > 12:
@@ -197,7 +200,7 @@ class TrajectorySimulator:
     sample(key) -> {"measurements": (T, n_meas) uint8} — per-trajectory
     sampled records, directly comparable with the Pauli-frame samplers."""
 
-    def __init__(self, circuit: Circuit, trajectories: int = 1024):
+    def __init__(self, circuit: 'Circuit', trajectories: int = 1024):
         self.circuit = circuit
         self.n = circuit.n_qubits
         self.T = trajectories

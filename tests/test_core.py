@@ -135,3 +135,28 @@ class TestConfigurations:
         tw = TweezerParameters()
         assert tw.diffraction_limited_waist() < tw.waist * 2
         assert tw.rayleigh_range() > tw.waist
+
+
+class TestImportOrder:
+    def test_bench_import_order(self):
+        """gate.simulate must import cleanly BEFORE the qec/solver/channels
+        packages (the driver's bench.py does exactly this; a circular
+        import here once broke the headline benchmark)."""
+        import subprocess, sys
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "from noisyquantumsimulator_tpu.gate.simulate import plan_cz_gate;"
+                "from noisyquantumsimulator_tpu import qec, solver, channels;"
+                "print('OK')")
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=300)
+        assert "OK" in out.stdout, out.stderr[-2000:]
+
+    def test_qec_first_import_order(self):
+        import subprocess, sys
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "from noisyquantumsimulator_tpu import qec;"
+                "from noisyquantumsimulator_tpu.gate.simulate import plan_cz_gate;"
+                "print('OK')")
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=300)
+        assert "OK" in out.stdout, out.stderr[-2000:]

@@ -336,3 +336,54 @@ class TestLDPCMovementPlanning:
         small = plan_bb_extraction(Hs)
         big = plan_bb_extraction(Hbig)
         assert big.total_move_distance > small.total_move_distance
+
+
+class TestNNDecoder:
+    def test_learns_better_than_trivial(self):
+        from noisyquantumsimulator_tpu.qec.nn_decoder import train_nn_decoder
+        dec, ev = train_nn_decoder(d=3, p=3e-3, steps=150, seed=1)
+        assert ev["p_logical_nn"] < 0.6 * ev["p_logical_trivial"]
+        assert dec.history[-1] < dec.history[0]
+
+    def test_decode_batch_interface(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.nn_decoder import NNDecoder
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+        c = memory_z_circuit(3, 2, p=2e-3)
+        dec = NNDecoder(c).train(steps=30)
+        dets = np.zeros((16, c.n_detectors), dtype=np.uint8)
+        out = dec.decode_batch(dets)
+        assert out.shape == (16,)
+
+
+class TestExecutor:
+    def _compiled(self):
+        from noisyquantumsimulator_tpu.qec.compiler import Gate, compile_circuit
+        from noisyquantumsimulator_tpu.qec.topology import grid_topology
+        gates = [Gate("H", (0,)), Gate("CX", (0, 1)), Gate("CZ", (1, 2)),
+                 Gate("T", (2,))]
+        return compile_circuit(gates, grid_topology(3, 3))
+
+    def test_execute_reports_metrics(self):
+        from noisyquantumsimulator_tpu.qec.executor import execute
+        r = execute(self._compiled(), shots=5000, seed=0)
+        assert r.n_ops > 4                       # decomposed to native set
+        assert 0 <= r.p_any_error < 1
+        assert r.total_time > 0
+        assert "cz" in r.error_budget
+
+    def test_calibrated_backend_increases_error(self):
+        from noisyquantumsimulator_tpu.qec.executor import execute
+        from noisyquantumsimulator_tpu.primitives import NeutralAtomBackend
+        compiled = self._compiled()
+        base = execute(compiled, shots=8000, seed=1)
+        cal = execute(compiled, NeutralAtomBackend(), shots=8000, seed=1)
+        # calibrated CZ channel carries the real (larger) error budget
+        assert cal.p_any_error > base.p_any_error
+
+    def test_error_circuit_zero_noise(self):
+        from noisyquantumsimulator_tpu.qec.executor import execute
+        r = execute(self._compiled(), shots=2000, seed=2,
+                    cz_pauli_probs=np.eye(16)[0], p1=0.0, p_meas=0.0,
+                    t1=1e9, t2=1e9)
+        assert r.p_any_error == 0.0
