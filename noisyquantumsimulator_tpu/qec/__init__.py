@@ -1,7 +1,8 @@
 from . import (circuits, color_code, compiler, decoders, dem,  # noqa: F401
-               executor, fast_sampler, lattice_surgery, ldpc, ldpc_layout,
-               memory, nn_decoder, pauli_frame, scheduler, surface_code,
-               topology)
+               erasure, executor, fast_sampler, lattice_surgery, ldpc,
+               ldpc_layout, memory, nn_decoder, pauli_frame, scheduler,
+               surface_code, topology)
+from .erasure import run_erasure_memory  # noqa: F401
 from .executor import execute  # noqa: F401
 from .lattice_surgery import run_zz_surgery, zz_merge_split_circuit  # noqa: F401
 from .fast_sampler import build_fast_sampler, sample_circuit_fast  # noqa: F401

@@ -197,6 +197,19 @@ def build_fast_sampler(circuit: Circuit, shots: int):
         blocks.append((pb == 1) | (pb == 2))                    # xb
         blocks.append((pb == 2) | (pb == 3))                    # zb
 
+    # erasure metadata for heralded decoding: detector/observable
+    # signatures of each erase site's x- and z-fault (host numpy)
+    erasure_meta = {
+        "x_det": Fd[np.asarray(rows_erase_x, np.int32)] if rows_erase_x
+        else np.zeros((0, n_det), np.int8),
+        "z_det": Fd[np.asarray(rows_erase_z, np.int32)] if rows_erase_z
+        else np.zeros((0, n_det), np.int8),
+        "x_obs": Fo[np.asarray(rows_erase_x, np.int32)] if rows_erase_x
+        else np.zeros((0, n_obs), np.int8),
+        "z_obs": Fo[np.asarray(rows_erase_z, np.int32)] if rows_erase_z
+        else np.zeros((0, n_obs), np.int8),
+    }
+
     def sample(key):
         kb, k1, kd2, k2, ke, kf = jax.random.split(key, 6)
         blocks = []
@@ -223,19 +236,25 @@ def build_fast_sampler(circuit: Circuit, shots: int):
                           axis=-1)
             hit = u[..., 0] < dev["pair_cum"][:, -1]
             _pair_bits(jnp.where(hit, idx + 1, 0), blocks)
+        heralds = jnp.zeros((shots, ne), jnp.uint8)
         if ne:
             u = jax.random.uniform(ke, (shots, ne))
             bits = jax.random.randint(kf, (shots, ne, 2), 0, 2,
-                                      dtype=jnp.int8)
+                                      dtype=jnp.uint8)
             hit = u < dev["erase_p"]
+            heralds = hit.astype(jnp.uint8)   # erasures announce themselves
             blocks.append(hit & (bits[..., 0] > 0))
             blocks.append(hit & (bits[..., 1] > 0))
         if not blocks:
             zero = jnp.zeros((shots, n_det), jnp.uint8)
             return {"detectors": zero,
-                    "observables": jnp.zeros((shots, n_obs), jnp.uint8)}
+                    "observables": jnp.zeros((shots, n_obs), jnp.uint8),
+                    "heralds": heralds}
 
-        E = jnp.concatenate([b.astype(jnp.int8) for b in blocks], axis=1)
+        # int8 operands feed the MXU on TPU; XLA's CPU backend has a
+        # lowering bug for some int8 dot fusions, so use int32 there
+        edt = (jnp.int8 if jax.default_backend() == "tpu" else jnp.int32)
+        E = jnp.concatenate([b.astype(edt) for b in blocks], axis=1)
         dets = jax.lax.dot_general(
             E, dev["Fd"], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -243,9 +262,12 @@ def build_fast_sampler(circuit: Circuit, shots: int):
             E, dev["Fo"], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         return {"detectors": (dets & 1).astype(jnp.uint8),
-                "observables": (obs & 1).astype(jnp.uint8)}
+                "observables": (obs & 1).astype(jnp.uint8),
+                "heralds": heralds}
 
-    return jax.jit(sample)
+    fn = jax.jit(sample)
+    fn.erasure_meta = erasure_meta
+    return fn
 
 
 def sample_circuit_fast(circuit: Circuit, shots: int, seed: int = 0) -> Dict:

@@ -146,6 +146,7 @@ def memory_z_circuit(
     plus_init_data: Optional[List[Tuple[int, int]]] = None,
     indeterminate_z_round1: Optional[List[Tuple[int, int]]] = None,
     logical_z_columns: Optional[List[int]] = None,
+    p_erase: float = 0.0,
 ) -> Circuit:
     """Memory-Z experiment circuit for the rotated surface code.
 
@@ -210,6 +211,8 @@ def memory_z_circuit(
             c.append("DEPOLARIZE1", x_ids, arg=p)
         if p_idle > 0:
             c.append("DEPOLARIZE1", data_idx, arg=p_idle)
+        if p_erase > 0:   # heralded atom loss/erasure per round (loss.py)
+            c.append("ERASE", data_idx, arg=p_erase)
         # measure + reset ancillas
         c.append("MR", z_ids + x_ids, arg=p_meas)
 

@@ -387,3 +387,34 @@ class TestExecutor:
                     cz_pauli_probs=np.eye(16)[0], p1=0.0, p_meas=0.0,
                     t1=1e9, t2=1e9)
         assert r.p_any_error == 0.0
+
+
+class TestErasureDecoding:
+    def test_heralds_emitted(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+        c = memory_z_circuit(3, 2, p=0.0, p_erase=0.1)
+        fn = build_fast_sampler(c, 20000)
+        out = fn(jax.random.PRNGKey(0))
+        h = np.asarray(out["heralds"])
+        assert h.shape[1] > 0
+        assert abs(h.mean() - 0.1) < 0.01
+
+    def test_heralded_beats_blind_decoding(self):
+        from noisyquantumsimulator_tpu.qec.erasure import run_erasure_memory
+        rh = run_erasure_memory(3, p=0.0, p_erase=0.05, shots=20000, seed=2)
+        rn = run_erasure_memory(3, p=0.0, p_erase=0.05, shots=20000, seed=2,
+                                use_heralds=False)
+        # erasure conversion: heralded decoding must be >=5x better here
+        assert rh["p_logical_shot"] * 5 < rn["p_logical_shot"]
+
+    def test_mixed_pauli_and_erasure(self):
+        from noisyquantumsimulator_tpu.qec.erasure import run_erasure_memory
+        r = run_erasure_memory(3, p=1e-3, p_erase=0.02, shots=20000, seed=3)
+        assert 0 <= r["p_logical_shot"] < 0.05
+
+    def test_pure_erasure_noiseless_when_unheralded_zero(self):
+        from noisyquantumsimulator_tpu.qec.erasure import run_erasure_memory
+        r = run_erasure_memory(3, p=0.0, p_erase=0.0, shots=2000, seed=4)
+        assert r["p_logical_shot"] == 0.0
