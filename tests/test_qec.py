@@ -418,3 +418,17 @@ class TestErasureDecoding:
         from noisyquantumsimulator_tpu.qec.erasure import run_erasure_memory
         r = run_erasure_memory(3, p=0.0, p_erase=0.0, shots=2000, seed=4)
         assert r["p_logical_shot"] == 0.0
+
+
+class TestShardedBBMC:
+    def test_sharded_matches_reference_physics(self):
+        """north-star #4: BB-LDPC MC sharded over the mesh with psum."""
+        from noisyquantumsimulator_tpu.parallel.bb_mc import (
+            run_bb_memory_sharded)
+        r = run_bb_memory_sharded(p=0.01, shots_per_device=2048, seed=3)
+        assert r["n_devices"] >= 8            # virtual CPU mesh in tests
+        assert r["shots"] == 2048 * r["n_devices"]
+        # syndrome weight ~ p * mean column weight of Hz (3 per check side)
+        assert 0.5 * 0.01 < r["syndrome_weight_mean"] < 10 * 0.01
+        assert 0 <= r["p_logical_shot"] < 0.05
+        assert r["bp_converged_frac"] > 0.98
