@@ -21,11 +21,10 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..qec.ldpc import _bp_batch, css_n_k, logical_operators, small_bb_code
-from .mesh import make_mesh
+from .mesh import make_mesh, shard_map_compat
 
 
 def run_bb_memory_sharded(
@@ -85,11 +84,11 @@ def run_bb_memory_sharded(
     keys = jax.random.split(jax.random.PRNGKey(seed), n_dev)
     keys = jax.device_put(np.asarray(keys),
                           NamedSharding(mesh, P(axes)))
-    # check_rep=False: the BP fori_loop carry starts from closured
+    # check=False: the BP fori_loop carry starts from closured
     # (replicated) zeros, which trips the varying-manual-axes check even
     # though the computation is correct per device
-    fn = jax.jit(shard_map(per_device, mesh=mesh, in_specs=P(axes),
-                           out_specs=(P(), P(), P()), check_rep=False))
+    fn = jax.jit(shard_map_compat(per_device, mesh, P(axes),
+                                  (P(), P(), P()), check=False))
     n_fail, n_conv, syn_w = fn(keys)
     total = T * n_dev
     return {

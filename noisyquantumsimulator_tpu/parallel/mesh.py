@@ -66,3 +66,15 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
 
 __all__ = ["make_mesh", "shard_leading", "replicated", "pad_to_multiple",
            "Mesh", "NamedSharding", "P"]
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs, check: bool = True):
+    """shard_map across jax versions: jax.shard_map (>=0.8, check_vma
+    keyword) with fallback to jax.experimental.shard_map (check_rep)."""
+    import jax
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check)
+    from jax.experimental.shard_map import shard_map as _sm
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=check)
