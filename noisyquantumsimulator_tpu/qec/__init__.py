@@ -1,7 +1,9 @@
 from . import (circuits, color_code, compiler, decoders, dem,  # noqa: F401
-               erasure, executor, fast_sampler, lattice_surgery, ldpc,
-               ldpc_layout, memory, nn_decoder, pauli_frame, scheduler,
-               surface_code, topology)
+               dem_decoder, erasure, executor, fast_sampler,
+               lattice_surgery, ldpc, ldpc_layout, memory, nn_decoder,
+               pauli_frame, scheduler, surface_code, topology)
+from .dem_decoder import DemBPDecoder  # noqa: F401
+from .ldpc import run_bb_circuit_memory  # noqa: F401
 from .erasure import run_erasure_memory  # noqa: F401
 from .executor import execute  # noqa: F401
 from .lattice_surgery import run_zz_surgery, zz_merge_split_circuit  # noqa: F401

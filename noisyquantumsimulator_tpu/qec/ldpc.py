@@ -325,6 +325,165 @@ def run_bb_memory(Hx: Optional[np.ndarray] = None,
         decoder_converged_frac=float(converged.mean()))
 
 
+# =============================================================================
+# sparse (edge-list) min-sum BP — for DEM graphs with thousands of
+# variables, where the dense (S, m, n) message tensor would not fit
+# =============================================================================
+
+def _bp_edges(syn, chk, var, llr_var, n_chk, n_var, n_iters, scale):
+    """Edge-list normalized min-sum.
+
+    syn (S, n_chk) float32 in {0,1}; chk/var (E,) int32 endpoint indices;
+    llr_var (n_var,) priors. Messages live per edge: (S, E) tensors only.
+    Returns (hard (S, n_var) uint8, beliefs (S, n_var))."""
+    S = syn.shape[0]
+    sgn_syn = 1.0 - 2.0 * syn                       # (S, n_chk)
+    llr_e = llr_var[var]                            # (E,)
+    msg_vc = jnp.broadcast_to(llr_e[None, :], (S, llr_e.shape[0]))
+
+    def c2v(msg_vc):
+        sgn = jnp.sign(msg_vc)
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        mag = jnp.abs(msg_vc)
+        # per-check sign product and two-smallest magnitudes (vmap the
+        # segment reductions over the shot axis)
+        def per_shot(sg, mg):
+            prod = jax.ops.segment_prod(sg, chk, num_segments=n_chk)
+            m1 = jax.ops.segment_min(mg, chk, num_segments=n_chk)
+            is1 = mg == m1[chk]
+            cnt = jax.ops.segment_sum(is1.astype(jnp.float32), chk,
+                                      num_segments=n_chk)
+            m2 = jax.ops.segment_min(jnp.where(is1, jnp.inf, mg), chk,
+                                     num_segments=n_chk)
+            return prod, m1, m2, cnt, is1
+        prod, m1, m2, cnt, is1 = jax.vmap(per_shot)(sgn, mag)
+        ext_min = jnp.where(is1 & (cnt[:, chk] == 1.0), m2[:, chk],
+                            m1[:, chk])
+        ext_sgn = (prod * sgn_syn)[:, chk] / sgn
+        return scale * ext_sgn * ext_min            # msg_cv (S, E)
+
+    def v2c(msg_cv):
+        def per_shot(mc):
+            tot = jax.ops.segment_sum(mc, var, num_segments=n_var)
+            return tot
+        tot = jax.vmap(per_shot)(msg_cv)            # (S, n_var)
+        total = llr_var[None, :] + tot
+        return total[:, var] - msg_cv, total
+
+    def body(_, msg_vc):
+        msg_cv = c2v(msg_vc)
+        msg_vc, _ = v2c(msg_cv)
+        return msg_vc
+
+    msg_vc = jax.lax.fori_loop(0, n_iters, body, msg_vc)
+    msg_cv = c2v(msg_vc)
+    _, belief = v2c(msg_cv)
+    return (belief < 0).astype(jnp.uint8), belief
+
+
+# =============================================================================
+# circuit-level BB memory (syndrome-extraction circuits + DEM-BP decoding)
+# =============================================================================
+
+def bb_memory_circuit(Hx: Optional[np.ndarray] = None,
+                      Hz: Optional[np.ndarray] = None,
+                      rounds: int = 3, p: float = 1e-3,
+                      p_meas: Optional[float] = None) -> "Circuit":
+    """Circuit-level memory-Z experiment for a CSS/BB code.
+
+    Data qubits 0..n-1, one ancilla per Z check. Every round: reset
+    ancillas, CX(data -> ancilla) over each check's (non-local) support
+    with two-qubit depolarizing noise per gate, measure+reset ancillas
+    with flip noise; detectors compare consecutive rounds. Final
+    transversal Z measurement closes the boundary detectors; observables
+    are the Z-logical operators.
+
+    Non-locality is free in the Circuit IR — the movement cost of these
+    long-range CXs is priced separately by ldpc_layout.plan_bb_extraction.
+    """
+    from .circuits import Circuit
+
+    if Hx is None or Hz is None:
+        Hx, Hz = small_bb_code()
+    Hx = np.asarray(Hx, np.uint8)
+    Hz = np.asarray(Hz, np.uint8)
+    p_meas = p if p_meas is None else p_meas
+    n = Hz.shape[1]
+    mz = Hz.shape[0]
+    anc = list(range(n, n + mz))
+    supports = [np.nonzero(Hz[c])[0] for c in range(mz)]
+    max_w = max(len(s) for s in supports)
+
+    c = Circuit(n_qubits=n + mz)
+    for r in range(rounds):
+        # CX layers: leg k of every check fires together (the movement
+        # planner's wave structure); noise on every gate
+        for k in range(max_w):
+            pairs = [(int(supports[ch][k]), anc[ch])
+                     for ch in range(mz) if len(supports[ch]) > k]
+            flat = np.asarray(pairs, dtype=np.int32)
+            c.append("CX", flat)
+            if p > 0:
+                c.append("DEPOLARIZE2", flat, arg=p)
+        if p > 0:
+            c.append("DEPOLARIZE1", list(range(n)), arg=p / 10)
+        c.append("MR", anc, arg=p_meas)
+        for kk in range(mz):
+            if r == 0:
+                c.detector([-mz + kk])
+            else:
+                c.detector([-mz + kk, -2 * mz + kk])
+
+    c.append("M", list(range(n)), arg=p_meas)
+    for ch in range(mz):
+        recs = [-n - mz + ch]
+        recs += [-n + int(q) for q in supports[ch]]
+        c.detector(recs)
+
+    Lz = logical_operators(Hx, Hz)
+    for oi, lz in enumerate(Lz):
+        c.observable_include(oi, [-n + int(q)
+                                  for q in np.nonzero(lz)[0]])
+    return c
+
+
+def run_bb_circuit_memory(Hx: Optional[np.ndarray] = None,
+                          Hz: Optional[np.ndarray] = None,
+                          rounds: int = 3, p: float = 1e-3,
+                          shots: int = 20000, seed: int = 0,
+                          n_iters: int = 60) -> Dict:
+    """Full circuit-level BB memory: fast-sampler shots + DEM-BP decoding.
+
+    The logical failure counts a shot iff ANY of the k logical observables
+    is mispredicted."""
+    import jax
+    from .dem_decoder import DemBPDecoder
+    from .fast_sampler import build_fast_sampler
+
+    if Hx is None or Hz is None:
+        Hx, Hz = small_bb_code()
+    circuit = bb_memory_circuit(Hx, Hz, rounds, p)
+    sampler = build_fast_sampler(circuit, shots)
+    out = sampler(jax.random.PRNGKey(seed))
+    dets = np.asarray(out["detectors"])
+    obs = np.asarray(out["observables"])
+
+    dec = DemBPDecoder(circuit, n_iters=n_iters)
+    pred = dec.decode_batch(dets)
+    k = obs.shape[1]
+    fail = np.zeros(shots, dtype=bool)
+    for bit in range(k):
+        fail |= (((pred >> bit) & 1) != obs[:, bit])
+    n, kk = css_n_k(Hx, Hz)
+    return {
+        "code": f"[[{n},{kk}]]", "rounds": rounds, "p": p, "shots": shots,
+        "p_logical_shot": float(fail.mean()),
+        "detector_fraction": float(dets.mean()),
+        "n_mechanisms": dec.n_mech,
+        "decode_seconds": dec.last_decode_seconds,
+    }
+
+
 __all__ = ["bb_code", "gross_code", "small_bb_code", "css_n_k", "check_css",
            "logical_operators", "BPDecoder", "LDPCMemoryResult",
-           "run_bb_memory"]
+           "run_bb_memory", "bb_memory_circuit", "run_bb_circuit_memory"]

@@ -432,3 +432,44 @@ class TestShardedBBMC:
         assert 0.5 * 0.01 < r["syndrome_weight_mean"] < 10 * 0.01
         assert 0 <= r["p_logical_shot"] < 0.05
         assert r["bp_converged_frac"] > 0.98
+
+
+class TestCircuitLevelBB:
+    def test_noiseless_silent(self):
+        from noisyquantumsimulator_tpu.qec.fast_sampler import sample_circuit_fast
+        from noisyquantumsimulator_tpu.qec.ldpc import (bb_memory_circuit,
+                                                        small_bb_code)
+        c = bb_memory_circuit(*small_bb_code(), rounds=2, p=0.0)
+        o = sample_circuit_fast(c, 128)
+        assert not o["detectors"].any() and not o["observables"].any()
+
+    def test_sparse_bp_matches_dense(self):
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.ldpc import (_bp_batch, _bp_edges,
+                                                        small_bb_code)
+        Hx, Hz = small_bb_code()
+        rng = np.random.default_rng(1)
+        errors = (rng.random((256, Hz.shape[1])) < 0.01).astype(np.uint8)
+        syn = ((errors @ Hz.T) % 2).astype(np.float32)
+        llr0 = float(np.log(0.99 / 0.01))
+        dense, _ = _bp_batch(jnp.asarray(syn),
+                             H=jnp.asarray(Hz.astype(np.float32)),
+                             mask=jnp.asarray(Hz.astype(bool)),
+                             llr0=llr0, n_iters=30, scale=0.75)
+        chk, var = np.nonzero(Hz)
+        sparse, _ = _bp_edges(jnp.asarray(syn),
+                              chk=jnp.asarray(chk.astype(np.int32)),
+                              var=jnp.asarray(var.astype(np.int32)),
+                              llr_var=jnp.full(Hz.shape[1], llr0,
+                                               jnp.float32),
+                              n_chk=Hz.shape[0], n_var=Hz.shape[1],
+                              n_iters=30, scale=0.75)
+        assert (np.asarray(dense) == np.asarray(sparse)).all()
+
+    def test_circuit_level_decoding(self):
+        from noisyquantumsimulator_tpu.qec.ldpc import run_bb_circuit_memory
+        r = run_bb_circuit_memory(rounds=2, p=2e-3, shots=2000, seed=2,
+                                  n_iters=30)
+        assert r["p_logical_shot"] < 0.05
+        assert 0 < r["detector_fraction"] < 0.2
+        assert r["n_mechanisms"] > 100      # a real circuit-level DEM
