@@ -473,3 +473,22 @@ class TestCircuitLevelBB:
         assert r["p_logical_shot"] < 0.05
         assert 0 < r["detector_fraction"] < 0.2
         assert r["n_mechanisms"] > 100      # a real circuit-level DEM
+
+
+class TestSurgeryD5:
+    def test_d5_builds_and_decodes(self):
+        from noisyquantumsimulator_tpu.qec.lattice_surgery import run_zz_surgery
+        r = run_zz_surgery(5, p=1e-3, shots=5000, seed=3)
+        assert r["zz_error_rate_decoded"] < r["zz_error_rate_raw"]
+        assert r["n_zz_records"] > 9      # larger readout than d=3
+
+
+class TestNNDecoderOnBB:
+    def test_generic_circuit_support(self):
+        from noisyquantumsimulator_tpu.qec.ldpc import (bb_memory_circuit,
+                                                        small_bb_code)
+        from noisyquantumsimulator_tpu.qec.nn_decoder import NNDecoder
+        c = bb_memory_circuit(*small_bb_code(), rounds=2, p=8e-3)
+        dec = NNDecoder(c, observable=0).train(steps=80)
+        ev = dec.evaluate(shots=8000)
+        assert ev["p_logical_nn"] < ev["p_logical_trivial"]
