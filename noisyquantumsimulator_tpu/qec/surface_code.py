@@ -274,6 +274,110 @@ def memory_z_circuit(
     return c
 
 
+def memory_x_circuit(
+    d: int,
+    rounds: int,
+    noise: str = "circuit",
+    p: float = 1e-3,
+    cz_pauli_probs: Optional[np.ndarray] = None,
+    p_meas: Optional[float] = None,
+    p_erase: float = 0.0,
+) -> Circuit:
+    """Memory-X experiment: prepare |+..+>, track X stabilizers, read out
+    transversally in X. The Z-basis dual of memory_z_circuit — Z errors
+    are the logical threat; detectors compare consecutive X-syndrome
+    rounds and the observable is the logical-X data column.
+
+    Implementation detail: data qubits are prepared with R+H (the reset
+    gauge becomes the physical |+> gauge) and measured with H+M, so the
+    frame engines see exact |+>-basis statistics."""
+    lay = build_layout(d)
+    c = Circuit(n_qubits=lay.n_qubits)
+    data_idx = lay.data_indices
+    zanc = sorted(lay.z_anc)
+    xanc = sorted(lay.x_anc)
+    z_ids = [lay.z_anc[a] for a in zanc]
+    x_ids = [lay.x_anc[a] for a in xanc]
+    p_meas = p if p_meas is None else p_meas
+    p_idle = p / 10
+    use_calibrated = noise == "calibrated" and cz_pauli_probs is not None
+
+    # |+> data preparation (gauge-correct: R randomizes z, H moves it to x)
+    c.append("R", data_idx)
+    c.append("H", data_idx)
+    if p > 0:
+        c.append("DEPOLARIZE1", data_idx, arg=p)
+
+    def noisy_cx(pairs):
+        if not pairs:
+            return
+        flat = np.asarray(pairs, dtype=np.int32)
+        c.append("CX", flat)
+        if use_calibrated:
+            c.append("PAULI_CHANNEL_2", flat, probs=cz_pauli_probs)
+        elif p > 0:
+            c.append("DEPOLARIZE2", flat, arg=p)
+
+    def cycle():
+        if p_meas > 0:
+            c.append("X_ERROR", z_ids + x_ids, arg=p_meas)
+        c.append("H", x_ids)
+        if p > 0 and not use_calibrated:
+            c.append("DEPOLARIZE1", x_ids, arg=p)
+        for step in range(4):
+            pairs = []
+            for a in xanc:
+                dx, dy = _X_ORDER[step]
+                tgt = (a[0] + dx, a[1] + dy)
+                if tgt in lay.data:
+                    pairs.append((lay.x_anc[a], lay.data[tgt]))
+            for a in zanc:
+                dx, dy = _Z_ORDER[step]
+                src = (a[0] + dx, a[1] + dy)
+                if src in lay.data:
+                    pairs.append((lay.data[src], lay.z_anc[a]))
+            noisy_cx(pairs)
+        c.append("H", x_ids)
+        if p > 0 and not use_calibrated:
+            c.append("DEPOLARIZE1", x_ids, arg=p)
+        if p_idle > 0:
+            c.append("DEPOLARIZE1", data_idx, arg=p_idle)
+        if p_erase > 0:
+            c.append("ERASE", data_idx, arg=p_erase)
+        c.append("MR", z_ids + x_ids, arg=p_meas)
+
+    n_anc = len(z_ids) + len(x_ids)
+    n_z = len(z_ids)
+    n_x = len(x_ids)
+    for r in range(rounds):
+        cycle()
+        # X-ancilla records live AFTER the Z block in the MR ordering
+        for k in range(n_x):
+            if r == 0:
+                c.detector([-n_x + k])
+            else:
+                c.detector([-n_x + k, -n_anc - n_x + k])
+
+    # transversal X readout: rotate data into Z then measure
+    c.append("H", data_idx)
+    c.append("M", data_idx, arg=p_meas)
+    n_data = len(data_idx)
+    data_coords = sorted(lay.data)
+
+    for k, a in enumerate(xanc):
+        recs = [-n_data - n_anc + n_z + k]
+        for dx, dy in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+            cc = (a[0] + dx, a[1] + dy)
+            if cc in lay.data:
+                recs.append(-n_data + data_coords.index(cc))
+        c.detector(recs)
+
+    # logical X: left column of data qubits (x = 1)
+    col = [i for i, cc in enumerate(data_coords) if cc[0] == 1]
+    c.observable_include(0, [-n_data + i for i in col])
+    return c
+
+
 def code_metrics(d: int) -> Dict:
     """Static code metrics (surface_code.py:20-25 spec)."""
     lay = build_layout(d)
@@ -317,5 +421,5 @@ def teraquop_footprint(p_round: float, d: int, target: float = 1e-12,
 
 
 __all__ = ["SurfaceCodeLayout", "build_layout", "build_rect_layout",
-           "memory_z_circuit", "code_metrics", "logical_error_rate",
-           "teraquop_footprint"]
+           "memory_z_circuit", "memory_x_circuit", "code_metrics",
+           "logical_error_rate", "teraquop_footprint"]

@@ -492,3 +492,35 @@ class TestNNDecoderOnBB:
         dec = NNDecoder(c, observable=0).train(steps=80)
         ev = dec.evaluate(shots=8000)
         assert ev["p_logical_nn"] < ev["p_logical_trivial"]
+
+
+class TestMemoryX:
+    def test_noiseless_silent_and_gauge_exact(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_x_circuit
+        c = memory_x_circuit(3, 3, p=0.0)
+        out = build_fast_sampler(c, 256)(jax.random.PRNGKey(0))
+        assert not np.asarray(out["detectors"]).any()
+        assert not np.asarray(out["observables"]).any()
+
+    def test_error_type_sensitivity(self):
+        from noisyquantumsimulator_tpu.qec.circuits import Instruction
+        from noisyquantumsimulator_tpu.qec.fast_sampler import sample_circuit_fast
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_x_circuit
+        data = np.arange(9)
+        cz = memory_x_circuit(3, 2, p=0.0)
+        cz.instructions.insert(2, Instruction("Z_ERROR", data, 0.05, None))
+        cx = memory_x_circuit(3, 2, p=0.0)
+        cx.instructions.insert(2, Instruction("X_ERROR", data, 0.05, None))
+        assert sample_circuit_fast(cz, 5000)["detectors"].mean() > 0.01
+        assert sample_circuit_fast(cx, 5000)["detectors"].mean() == 0.0
+
+    def test_subthreshold_scaling(self):
+        from noisyquantumsimulator_tpu.qec.memory import run_memory
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_x_circuit
+        r3 = run_memory(d=3, p=1e-3, shots=20000, seed=5,
+                        circuit=memory_x_circuit(3, 3, p=1e-3))
+        r5 = run_memory(d=5, p=1e-3, shots=20000, seed=5,
+                        circuit=memory_x_circuit(5, 5, p=1e-3))
+        assert r5.p_logical_round < r3.p_logical_round
