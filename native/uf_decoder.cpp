@@ -196,3 +196,118 @@ void uf_decode_batch(void* handle, const uint8_t* dets, int shots, int n_det,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Heralded-erasure peeling (native port of qec/erasure.ErasureDecoder):
+// leaf-inward peeling of each shot's heralded subgraph, boundary edges
+// applied by defect state, cycles broken arbitrarily (ML within erasure).
+// Residual defects are left in `dets` for the caller's matching pass.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ErCtx {
+    int n_det;
+    int n_sites;
+    std::vector<int64_t> edges;    // (n_sites, 2), -1 = boundary/absent
+    std::vector<uint8_t> obs0;     // (n_sites,)
+};
+
+}  // namespace
+
+extern "C" {
+
+void* er_create(int n_det, int n_sites, const int64_t* edges,
+                const uint8_t* obs0) {
+    ErCtx* c = new ErCtx();
+    c->n_det = n_det;
+    c->n_sites = n_sites;
+    c->edges.assign(edges, edges + 2 * static_cast<size_t>(n_sites));
+    c->obs0.assign(obs0, obs0 + n_sites);
+    return c;
+}
+
+void er_destroy(void* h) { delete static_cast<ErCtx*>(h); }
+
+// dets (S, n_det) uint8, modified in place to the residual syndrome;
+// heralds (S, n_sites) uint8; obs_out (S,) uint8 erasure-correction parity.
+void er_peel_batch(void* h, uint8_t* dets, const uint8_t* heralds,
+                   int S, int n_det, int n_sites, uint8_t* obs_out) {
+    const ErCtx& c = *static_cast<ErCtx*>(h);
+    std::vector<int> sites;
+    std::vector<char> alive;
+    std::vector<std::vector<int>> inc(c.n_det);   // node -> local edge ids
+
+    for (int s = 0; s < S; ++s) {
+        uint8_t* D = dets + static_cast<size_t>(s) * n_det;
+        const uint8_t* hh = heralds + static_cast<size_t>(s) * n_sites;
+        sites.clear();
+        for (int e = 0; e < n_sites; ++e)
+            if (hh[e]) sites.push_back(e);
+        uint8_t par = 0;
+        if (!sites.empty()) {
+            const int k = static_cast<int>(sites.size());
+            alive.assign(k, 1);
+            for (auto& v : inc) v.clear();
+            for (int i = 0; i < k; ++i) {
+                int64_t u = c.edges[2 * sites[i]];
+                int64_t v = c.edges[2 * sites[i] + 1];
+                if (u >= 0) inc[u].push_back(i);
+                if (v >= 0) inc[v].push_back(i);
+            }
+            int remaining = k;
+            auto peel_pass = [&]() {
+                bool changed = true;
+                while (changed) {
+                    changed = false;
+                    for (int i = 0; i < k; ++i) {
+                        if (!alive[i]) continue;
+                        int64_t u = c.edges[2 * sites[i]];
+                        int64_t v = c.edges[2 * sites[i] + 1];
+                        // leaf = endpoint whose live degree is 1
+                        int leaf = -1, other = -1;
+                        if (u >= 0) {
+                            int deg = 0;
+                            for (int j : inc[u]) deg += alive[j];
+                            if (deg == 1) { leaf = static_cast<int>(u);
+                                            other = static_cast<int>(v); }
+                        }
+                        if (leaf < 0 && v >= 0) {
+                            int deg = 0;
+                            for (int j : inc[v]) deg += alive[j];
+                            if (deg == 1) { leaf = static_cast<int>(v);
+                                            other = static_cast<int>(u); }
+                        }
+                        if (leaf < 0) continue;
+                        if (D[leaf]) {
+                            par ^= c.obs0[sites[i]];
+                            D[leaf] ^= 1;
+                            if (other >= 0) D[other] ^= 1;
+                        }
+                        alive[i] = 0;
+                        --remaining;
+                        changed = true;
+                    }
+                }
+            };
+            peel_pass();
+            // leftovers: boundary edges by defect state; cycles broken
+            while (remaining > 0) {
+                int i = 0;
+                while (i < k && !alive[i]) ++i;
+                int64_t u = c.edges[2 * sites[i]];
+                int64_t v = c.edges[2 * sites[i] + 1];
+                if (v < 0 && u >= 0 && D[u]) {
+                    par ^= c.obs0[sites[i]];
+                    D[u] ^= 1;
+                }
+                alive[i] = 0;
+                --remaining;
+                peel_pass();
+            }
+        }
+        obs_out[s] = par;
+    }
+}
+
+}  // extern "C"

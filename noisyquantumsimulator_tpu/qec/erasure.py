@@ -57,6 +57,19 @@ class ErasureDecoder:
                      heralds: np.ndarray) -> np.ndarray:
         detectors = np.asarray(detectors, dtype=np.uint8)
         heralds = np.asarray(heralds, dtype=np.uint8)
+
+        # native C++ peeling when the library is built (identical order)
+        try:
+            from .native import NativeErasurePeeler, native_available
+            if native_available():
+                peeler = NativeErasurePeeler(self.n_detectors, self._edges,
+                                             self._obs0.astype(np.uint8))
+                residual, obs_flip = peeler.peel_batch(detectors, heralds)
+                pred = self.base_decoder.decode_batch(residual)
+                return (np.asarray(pred) ^ obs_flip) & 1
+        except OSError:  # pragma: no cover - library missing
+            pass
+
         S = detectors.shape[0]
         residual = detectors.copy()
         obs_flip = np.zeros(S, dtype=np.int64)

@@ -57,8 +57,9 @@ def run_memory(
     circuit: Optional[Circuit] = None,
     max_defects: int = 32,
     sampler_kind: str = "fast",
+    basis: str = "Z",
 ) -> MemoryResult:
-    """Surface-code memory-Z experiment.
+    """Surface-code memory experiment (basis="Z" or "X").
 
     sampler_kind: "fast" uses the one-matmul MXU sampler
     (fast_sampler.py); "frame" the per-instruction Pauli-frame sampler.
@@ -67,8 +68,15 @@ def run_memory(
     """
     rounds = rounds if rounds is not None else d
     if circuit is None:
-        circuit = memory_z_circuit(d, rounds, noise=noise, p=p,
-                                   cz_pauli_probs=cz_pauli_probs)
+        if basis.upper() == "X":
+            from .surface_code import memory_x_circuit
+            circuit = memory_x_circuit(d, rounds, noise=noise, p=p,
+                                       cz_pauli_probs=cz_pauli_probs)
+        elif basis.upper() == "Z":
+            circuit = memory_z_circuit(d, rounds, noise=noise, p=p,
+                                       cz_pauli_probs=cz_pauli_probs)
+        else:
+            raise ValueError(f"basis must be 'Z' or 'X', got {basis!r}")
 
     if decoder == "auto":
         # native exact-MWPM (<=12 defects, greedy beyond) when built:

@@ -95,4 +95,59 @@ class NativeMatchingDecoder:
         return out.astype(np.int64)
 
 
-__all__ = ["NativeMatchingDecoder", "native_available"]
+__all__ = ["NativeMatchingDecoder", "NativeErasurePeeler", "native_available"]
+
+
+def _load_erasure_lib():
+    lib = _load_library()
+    if not hasattr(lib.er_create, "_configured"):
+        lib.er_create.restype = ctypes.c_void_p
+        lib.er_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_uint8)]
+        lib.er_destroy.argtypes = [ctypes.c_void_p]
+        lib.er_peel_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.er_create._configured = True
+    return lib
+
+
+class NativeErasurePeeler:
+    """C++ port of the erasure peeling loop (qec/erasure.py) — same
+    leaf-inward / boundary / cycle-breaking order, ~100x faster on large
+    shot batches. Residual defects are returned for the matching pass."""
+
+    def __init__(self, n_detectors: int, edges: np.ndarray,
+                 obs0: np.ndarray):
+        lib = _load_erasure_lib()
+        self._edges = np.ascontiguousarray(edges, dtype=np.int64)
+        self._obs0 = np.ascontiguousarray(obs0, dtype=np.uint8)
+        self.n_detectors = n_detectors
+        self.n_sites = self._edges.shape[0]
+        self._lib = lib
+        self._handle = lib.er_create(
+            n_detectors, self.n_sites,
+            self._edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._obs0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+    def __del__(self):
+        try:
+            self._lib.er_destroy(self._handle)
+        except Exception:
+            pass
+
+    def peel_batch(self, detectors: np.ndarray, heralds: np.ndarray):
+        """Returns (residual_detectors (S, n_det), obs_parity (S,))."""
+        dets = np.ascontiguousarray(detectors, dtype=np.uint8).copy()
+        hh = np.ascontiguousarray(heralds, dtype=np.uint8)
+        S = dets.shape[0]
+        out = np.zeros(S, dtype=np.uint8)
+        self._lib.er_peel_batch(
+            self._handle,
+            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            hh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            S, self.n_detectors, self.n_sites,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return dets, out.astype(np.int64)

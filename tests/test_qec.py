@@ -524,3 +524,31 @@ class TestMemoryX:
         r5 = run_memory(d=5, p=1e-3, shots=20000, seed=5,
                         circuit=memory_x_circuit(5, 5, p=1e-3))
         assert r5.p_logical_round < r3.p_logical_round
+
+
+class TestNativeErasurePeeler:
+    def test_matches_python_peeling(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.decoders import decoder_for_circuit
+        from noisyquantumsimulator_tpu.qec.erasure import ErasureDecoder
+        from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+        from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+        import noisyquantumsimulator_tpu.qec.native as nat
+        if not nat.native_available():
+            pytest.skip("native library not built")
+        c = memory_z_circuit(3, 2, p=1e-3, p_erase=0.08)
+        sampler = build_fast_sampler(c, 5000)
+        out = sampler(jax.random.PRNGKey(7))
+        dets = np.asarray(out["detectors"])
+        hh = np.asarray(out["heralds"])
+        base = decoder_for_circuit(c, kind="native")
+        dec = ErasureDecoder(c.n_detectors, sampler.erasure_meta["x_det"],
+                             sampler.erasure_meta["x_obs"], base)
+        p_nat = dec.decode_batch(dets, hh)
+        orig = nat.native_available
+        nat.native_available = lambda: False
+        try:
+            p_py = dec.decode_batch(dets, hh)
+        finally:
+            nat.native_available = orig
+        assert (p_nat == p_py).all()
