@@ -145,19 +145,30 @@ class ErasureDecoder:
 def run_erasure_memory(d: int = 3, rounds: Optional[int] = None,
                        p: float = 0.0, p_erase: float = 0.05,
                        shots: int = 20000, seed: int = 0,
-                       use_heralds: bool = True) -> Dict:
-    """Memory-Z experiment with per-round heralded data erasure.
+                       use_heralds: bool = True,
+                       basis: str = "Z") -> Dict:
+    """Memory experiment (Z or X basis) with per-round heralded erasure.
 
     use_heralds=False decodes the SAME samples ignoring the heralds
     (erasure treated as unheralded depolarization) — the comparison that
-    quantifies the value of erasure conversion."""
+    quantifies the value of erasure conversion. The peeling uses the
+    fault plane that threatens the chosen basis (X faults for memory-Z,
+    Z faults for memory-X)."""
     import jax
     from .decoders import decoder_for_circuit
     from .fast_sampler import build_fast_sampler
-    from .surface_code import logical_error_rate, memory_z_circuit
+    from .surface_code import (logical_error_rate, memory_x_circuit,
+                               memory_z_circuit)
 
     rounds = rounds if rounds is not None else d
-    circuit = memory_z_circuit(d, rounds, p=p, p_erase=p_erase)
+    if basis.upper() == "X":
+        circuit = memory_x_circuit(d, rounds, p=p, p_erase=p_erase)
+        det_key, obs_key = "z_det", "z_obs"
+    elif basis.upper() == "Z":
+        circuit = memory_z_circuit(d, rounds, p=p, p_erase=p_erase)
+        det_key, obs_key = "x_det", "x_obs"
+    else:
+        raise ValueError(f"basis must be 'Z' or 'X', got {basis!r}")
     sampler = build_fast_sampler(circuit, shots)
     out = sampler(jax.random.PRNGKey(seed))
     dets = np.asarray(out["detectors"])
@@ -171,8 +182,8 @@ def run_erasure_memory(d: int = 3, rounds: Optional[int] = None,
 
     if use_heralds:
         dec = ErasureDecoder(circuit.n_detectors,
-                             sampler.erasure_meta["x_det"],
-                             sampler.erasure_meta["x_obs"], base)
+                             sampler.erasure_meta[det_key],
+                             sampler.erasure_meta[obs_key], base)
         pred = dec.decode_batch(dets, heralds)
     else:
         pred = np.asarray(base.decode_batch(dets)) & 1

@@ -552,3 +552,13 @@ class TestNativeErasurePeeler:
         finally:
             nat.native_available = orig
         assert (p_nat == p_py).all()
+
+
+class TestErasureBasisX:
+    def test_x_basis_erasure_conversion(self):
+        from noisyquantumsimulator_tpu.qec.erasure import run_erasure_memory
+        rh = run_erasure_memory(3, p=0.0, p_erase=0.05, shots=10000,
+                                seed=8, basis="X")
+        rb = run_erasure_memory(3, p=0.0, p_erase=0.05, shots=10000,
+                                seed=8, basis="X", use_heralds=False)
+        assert rh["p_logical_shot"] * 5 < rb["p_logical_shot"]
