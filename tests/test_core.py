@@ -160,3 +160,24 @@ class TestImportOrder:
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True, timeout=300)
         assert "OK" in out.stdout, out.stderr[-2000:]
+
+
+class TestComplexTransfer:
+    def test_roundtrip(self):
+        from noisyquantumsimulator_tpu.utils.transfer import (
+            device_get_complex, device_put_complex)
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=(4, 5)) + 1j * rng.normal(size=(4, 5)))
+        z = device_put_complex(x, np.complex64)
+        back = device_get_complex(z)
+        assert np.allclose(back, x, atol=1e-6)
+
+    def test_plane_transfer_forced(self, monkeypatch):
+        # force the float-plane path (the axon workaround) and verify the
+        # values still round-trip exactly
+        monkeypatch.setenv("NQS_COMPLEX_PLANE_TRANSFER", "1")
+        from noisyquantumsimulator_tpu.utils.transfer import (
+            device_get_complex, device_put_complex)
+        x = np.array([[1 + 2j, -3.5j], [0.25, -1 - 1j]])
+        z = device_put_complex(x, np.complex64)
+        assert np.allclose(device_get_complex(z), x, atol=1e-6)
