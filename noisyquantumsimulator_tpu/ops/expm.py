@@ -95,6 +95,48 @@ def _taylor16(As, I):
     return block(0) + A4 @ R
 
 
+def _cmm(Ar, Ai, Br, Bi):
+    """Complex matmul via 3 real multiplications (Karatsuba):
+    P1 = Ar Br, P2 = Ai Bi, P3 = (Ar+Ai)(Br+Bi);
+    real = P1 - P2, imag = P3 - P1 - P2.
+    XLA lowers a complex matmul to 4 real matmuls; this saves 25% of the
+    MXU work in the expm hot path at ~1 extra ulp of f32 error."""
+    P1 = Ar @ Br
+    P2 = Ai @ Bi
+    P3 = (Ar + Ai) @ (Br + Bi)
+    return P1 - P2, P3 - P1 - P2
+
+
+def _taylor16_3m(Ar, Ai, Ir):
+    """Float-plane Taylor-16 PS evaluation with 3-mult complex matmuls."""
+    c = [float(v) for v in _INVFACT]
+    A2r, A2i = _cmm(Ar, Ai, Ar, Ai)
+    A3r, A3i = _cmm(A2r, A2i, Ar, Ai)
+    A4r, A4i = _cmm(A2r, A2i, A2r, A2i)
+
+    def block(k):
+        return (c[k] * Ir + c[k + 1] * Ar + c[k + 2] * A2r + c[k + 3] * A3r,
+                c[k + 1] * Ai + c[k + 2] * A2i + c[k + 3] * A3i)
+
+    Rr, Ri = block(12)
+    Rr = Rr + c[16] * A4r
+    Ri = Ri + c[16] * A4i
+    for k in (8, 4, 0):
+        Pr, Pi = _cmm(A4r, A4i, Rr, Ri)
+        Br, Bi = block(k)
+        Rr, Ri = Br + Pr, Bi + Pi
+    return Rr, Ri
+
+
+def _square_3m(Rr, Ri, s, max_squarings):
+    def body(i, carry):
+        Rr, Ri = carry
+        Sr, Si = _cmm(Rr, Ri, Rr, Ri)
+        do = (i < s)[..., None, None]
+        return jnp.where(do, Sr, Rr), jnp.where(do, Si, Ri)
+    return jax.lax.fori_loop(0, max_squarings, body, (Rr, Ri))
+
+
 @partial(jax.jit, static_argnames=("max_squarings", "method"))
 def expm(A: jnp.ndarray, max_squarings: int = 12,
          method: str = "auto") -> jnp.ndarray:
@@ -110,11 +152,23 @@ def expm(A: jnp.ndarray, max_squarings: int = 12,
     """
     A = jnp.asarray(A)
     if method == "auto":
-        method = "taylor16" if A.dtype in (jnp.complex64, jnp.float32) \
+        method = "taylor16_3m" if A.dtype in (jnp.complex64, jnp.float32) \
             else "pade13"
     D = A.shape[-1]
-    I = jnp.broadcast_to(jnp.eye(D, dtype=A.dtype), A.shape)
 
+    if method == "taylor16_3m":
+        # float-plane path: every complex matmul costs 3 real matmuls
+        # instead of XLA's 4 — ~25% less MXU work in the hot loop
+        As, s = _scale(A, _THETA16, max_squarings)
+        rdt = jnp.float32 if A.dtype == jnp.complex64 else jnp.float64
+        Ar = jnp.real(As).astype(rdt)
+        Ai = jnp.imag(As).astype(rdt)
+        Ir = jnp.broadcast_to(jnp.eye(D, dtype=rdt), Ar.shape)
+        Rr, Ri = _taylor16_3m(Ar, Ai, Ir)
+        Rr, Ri = _square_3m(Rr, Ri, s, max_squarings)
+        return (Rr + 1j * Ri).astype(A.dtype)
+
+    I = jnp.broadcast_to(jnp.eye(D, dtype=A.dtype), A.shape)
     if method == "taylor16":
         As, s = _scale(A, _THETA16, max_squarings)
         R = _taylor16(As, I)
@@ -122,8 +176,8 @@ def expm(A: jnp.ndarray, max_squarings: int = 12,
         As, s = _scale(A, _THETA13, max_squarings)
         R = _pade13(As, I)
     else:
-        raise ValueError(f"Unknown expm method '{method}'; "
-                         f"expected 'pade13', 'taylor16' or 'auto'")
+        raise ValueError(f"Unknown expm method '{method}'; expected "
+                         f"'pade13', 'taylor16', 'taylor16_3m' or 'auto'")
     return _square(R, s, max_squarings)
 
 
