@@ -279,6 +279,7 @@ def run_baseline(protocol: str = "lp",
 def main(argv=None):
     """CLI mirror of optimize_cz_gate.py:1414."""
     import argparse
+    import os
     ap = argparse.ArgumentParser(description="Optimize a Rydberg CZ gate")
     ap.add_argument("--protocol", default="smooth_jp",
                     choices=["lp", "smooth_jp", "jp_bangbang"])
@@ -286,7 +287,22 @@ def main(argv=None):
     ap.add_argument("--no-noise", dest="noise", action="store_false")
     ap.add_argument("--maxiter", type=int, default=80)
     ap.add_argument("--popsize", type=int, default=15)
+    ap.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"],
+                    help="auto forces CPU on tunneled (axon) TPU backends, "
+                         "whose transfer rules the optimizer engine does "
+                         "not yet satisfy")
     args = ap.parse_args(argv)
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif (args.platform == "auto"
+          and "axon" in os.environ.get("JAX_PLATFORMS", "")):
+        jax.config.update("jax_platforms", "cpu")
+        print("[nqs-optimize-cz] running on CPU "
+              "(tunneled TPU backend detected)")
+    jax.config.update("jax_enable_x64", True)
     res = optimize_cz_gate(args.protocol, include_noise=args.noise,
                            maxiter=args.maxiter, popsize=args.popsize,
                            verbose=True)
@@ -297,3 +313,7 @@ def main(argv=None):
 __all__ = ["optimize_cz_gate", "run_baseline", "main",
            "get_lp_bounds_and_x0", "get_jp_bangbang_bounds_and_x0",
            "get_smooth_jp_bounds_and_x0", "warm_start_bounds"]
+
+
+if __name__ == "__main__":
+    main()
