@@ -32,12 +32,13 @@ from .cost import compute_cost_arrays
 
 @dataclass
 class FixedProblem:
-    """Constant arrays for one apparatus + noise setting."""
-    L0_bare: jnp.ndarray   # Liouvillian WITHOUT the -Delta|r><r| term
-    Cd: jnp.ndarray        # detuning channel (multiply by +Delta)
-    Cp: jnp.ndarray
-    Cm: jnp.ndarray
-    rho0s: jnp.ndarray
+    """Constant arrays for one apparatus + noise setting (host numpy;
+    device transfer happens in make_population_objective)."""
+    L0_bare: np.ndarray    # Liouvillian WITHOUT the -Delta|r><r| term
+    Cd: np.ndarray         # detuning channel (multiply by +Delta)
+    Cp: np.ndarray
+    Cm: np.ndarray
+    rho0s: np.ndarray
     kets: Dict[str, np.ndarray]
     Omega: float
     V: float
@@ -60,22 +61,29 @@ def build_fixed_problem(apparatus: ApparatusConstraints,
     # remove the planned smooth-JP detuning from L0 -> L0_bare
     Cd = hamiltonian_superop_linear(-sym_two_atom(HS3.projectors["r"]))
     L0_bare = plan.L0 - plan.Delta * Cd
+    # keep the constants as HOST numpy: device transfer happens once, in
+    # make_population_objective, via device_put_complex (tunneled TPU
+    # backends can neither serialize complex buffers nor fetch complex
+    # device arrays back)
+    ndt = np.dtype(jnp.dtype(dtype).name)
     return FixedProblem(
-        L0_bare=jnp.asarray(L0_bare, dtype),
-        Cd=jnp.asarray(Cd, dtype),
-        Cp=jnp.asarray(plan.Cp, dtype),
-        Cm=jnp.asarray(plan.Cm, dtype),
-        rho0s=jnp.asarray(plan.rho0s, dtype),
+        L0_bare=np.asarray(L0_bare, ndt),
+        Cd=np.asarray(Cd, ndt),
+        Cp=np.asarray(plan.Cp, ndt),
+        Cm=np.asarray(plan.Cm, ndt),
+        rho0s=np.asarray(plan.rho0s, ndt),
         kets=plan.kets,
         Omega=plan.Omega, V=plan.V, Delta_e=float(si.excitation.Delta_e),
         V_over_Omega=plan.V_over_Omega,
     )
 
 
-def _evaluate(problem: FixedProblem, schedule: Schedule):
-    rhos = evolve_rhos(problem.L0_bare, problem.Cp, problem.Cm, schedule,
-                       problem.rho0s, Cd=problem.Cd)
-    fids, avg, phase_info = compute_cz_fidelity(rhos, problem.kets)
+def _evaluate_arrays(schedule: Schedule, L0_bare, Cd, Cp, Cm, rho0s, kets):
+    """Array-argument core: complex operands enter as jit ARGUMENTS, never
+    closures (closured complex device arrays are inlined as MLIR constants,
+    which tunneled TPU backends cannot fetch — see utils/transfer.py)."""
+    rhos = evolve_rhos(L0_bare, Cp, Cm, schedule, rho0s, Cd=Cd)
+    fids, avg, phase_info = compute_cz_fidelity(rhos, kets)
     gate_time_us = jnp.sum(schedule.dts) * 1e6
     cost = compute_cost_arrays(avg, fids["11"],
                                phase_info["cz_phase_fidelity"], gate_time_us)
@@ -88,6 +96,12 @@ def _evaluate(problem: FixedProblem, schedule: Schedule):
         "gate_time_us": gate_time_us,
     }
     return cost, metrics
+
+
+def _evaluate(problem: FixedProblem, schedule: Schedule):
+    return _evaluate_arrays(schedule, problem.L0_bare, problem.Cd,
+                            problem.Cp, problem.Cm, problem.rho0s,
+                            problem.kets)
 
 
 # =============================================================================
@@ -175,9 +189,31 @@ def make_objective(problem: FixedProblem, protocol: str,
 def make_population_objective(problem: FixedProblem, protocol: str,
                               **builder_kwargs) -> Callable:
     """Whole-population evaluation: (P, D) params -> (P,) costs, dict of (P,)
-    metrics — ONE device call per DE generation."""
-    obj = make_objective(problem, protocol, **builder_kwargs)
-    return jax.jit(jax.vmap(obj))
+    metrics — ONE device call per DE generation.
+
+    The constant complex operands are passed as jit ARGUMENTS (transferred
+    once via device_put_complex), so this runs on tunneled TPU backends
+    too — closured complex constants would crash there."""
+    from ..utils.transfer import device_put_complex
+    key = protocol.lower().replace("-", "_")
+    if key not in SCHEDULE_BUILDERS:
+        raise ValueError(f"Unknown protocol for optimization: {protocol}")
+    builder = SCHEDULE_BUILDERS[key]
+    kets = problem.kets
+
+    def one(params, L0_bare, Cd, Cp, Cm, rho0s):
+        sched = builder(params, problem, **builder_kwargs)
+        return _evaluate_arrays(sched, L0_bare, Cd, Cp, Cm, rho0s, kets)
+
+    vm = jax.jit(jax.vmap(one, in_axes=(0, None, None, None, None, None)))
+    dev = tuple(device_put_complex(np.asarray(a))
+                for a in (problem.L0_bare, problem.Cd, problem.Cp,
+                          problem.Cm, problem.rho0s))
+
+    def call(population):
+        return vm(jnp.asarray(population), *dev)
+
+    return call
 
 
 __all__ = ["FixedProblem", "build_fixed_problem", "make_objective",
