@@ -29,6 +29,12 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh: {n} devices requested but only {len(devs)} "
+            f"available ({devs[0].platform}). For a virtual mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f"force the cpu platform BEFORE jax backend init.")
     devs = devs[:n]
     if shape is None:
         if len(axis_names) == 1:

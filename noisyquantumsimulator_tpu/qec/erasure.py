@@ -67,7 +67,7 @@ class ErasureDecoder:
                 residual, obs_flip = peeler.peel_batch(detectors, heralds)
                 pred = self.base_decoder.decode_batch(residual)
                 return (np.asarray(pred) ^ obs_flip) & 1
-        except OSError:  # pragma: no cover - library missing
+        except (OSError, AttributeError):  # pragma: no cover - lib missing/stale
             pass
 
         S = detectors.shape[0]

@@ -237,8 +237,10 @@ def _bp_batch(syn, H, mask, llr0, n_iters, scale):
     msg_v2c = jnp.broadcast_to(msg_v2c, (S, m, n))
 
     def body(_, msg_v2c):
-        # check -> variable (min-sum with syndrome sign)
+        # check -> variable (min-sum with syndrome sign); an exactly-zero
+        # message must not zero the whole check product (mirror _bp_edges)
         sgn = jnp.where(mask[None], jnp.sign(msg_v2c), 1.0)
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
         prod_sgn = jnp.prod(sgn, axis=2, keepdims=True) * sgn_syn[:, :, None]
         mag = jnp.where(mask[None], jnp.abs(msg_v2c), jnp.inf)
         min1 = jnp.min(mag, axis=2, keepdims=True)
@@ -249,7 +251,7 @@ def _bp_batch(syn, H, mask, llr0, n_iters, scale):
         mag2 = jnp.where(is_min, jnp.inf, mag)
         min2 = jnp.min(mag2, axis=2, keepdims=True)
         ext_min = jnp.where(is_min, min2, min1)
-        ext_sgn = prod_sgn / jnp.where(sgn == 0, 1.0, sgn)
+        ext_sgn = prod_sgn / sgn
         msg_c2v = jnp.where(mask[None], scale * ext_sgn * ext_min, 0.0)
         # variable -> check
         total = llr0 + jnp.sum(msg_c2v, axis=1, keepdims=True)  # (S,1,n)
@@ -259,6 +261,7 @@ def _bp_batch(syn, H, mask, llr0, n_iters, scale):
     msg_v2c = jax.lax.fori_loop(0, n_iters, body, msg_v2c)
     # final check->variable pass and total beliefs
     sgn = jnp.where(mask[None], jnp.sign(msg_v2c), 1.0)
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
     mag = jnp.where(mask[None], jnp.abs(msg_v2c), jnp.inf)
     min1 = jnp.min(mag, axis=2, keepdims=True)
     amin = jnp.argmin(mag, axis=2)
@@ -267,7 +270,7 @@ def _bp_batch(syn, H, mask, llr0, n_iters, scale):
     min2 = jnp.min(mag2, axis=2, keepdims=True)
     ext_min = jnp.where(is_min, min2, min1)
     full_sgn = jnp.prod(sgn, axis=2, keepdims=True) * sgn_syn[:, :, None]
-    ext_sgn = full_sgn / jnp.where(sgn == 0, 1.0, sgn)
+    ext_sgn = full_sgn / sgn
     msg_c2v = jnp.where(mask[None], scale * ext_sgn * ext_min, 0.0)
     belief = llr0 + jnp.sum(msg_c2v, axis=1)        # (S, n)
     return (belief < 0).astype(jnp.uint8), belief

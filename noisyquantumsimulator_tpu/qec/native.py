@@ -20,21 +20,36 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+# installed location (shipped as package data) first, then the in-tree
+# development location at the repo root
+_PKG_NATIVE_DIR = os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "native")
+_REPO_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libufdecode.so")
 
 _lib = None
+
+
+def _find_lib_path() -> str:
+    # dev tree: always run make (it is dependency-checked and near-instant
+    # when up to date) so edits to uf_decoder.cpp are picked up
+    makefile = os.path.join(_REPO_NATIVE_DIR, "Makefile")
+    if os.path.exists(makefile):
+        subprocess.run(["make", "-C", _REPO_NATIVE_DIR], check=True,
+                       capture_output=True)
+        return os.path.join(_REPO_NATIVE_DIR, "libufdecode.so")
+    for d in (_PKG_NATIVE_DIR, _REPO_NATIVE_DIR):
+        p = os.path.join(d, "libufdecode.so")
+        if os.path.exists(p):
+            return p
+    raise OSError("libufdecode.so not found (no Makefile to build it)")
 
 
 def _load_library():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(_find_lib_path())
     lib.uf_create.restype = ctypes.c_void_p
     lib.uf_create.argtypes = [ctypes.c_int, ctypes.POINTER(ctypes.c_double),
                               ctypes.POINTER(ctypes.c_int32)]
@@ -100,6 +115,12 @@ __all__ = ["NativeMatchingDecoder", "NativeErasurePeeler", "native_available"]
 
 def _load_erasure_lib():
     lib = _load_library()
+    # a library built before the erasure API raises AttributeError on
+    # symbol lookup; surface that as OSError so callers' native-fallback
+    # paths (which catch OSError) degrade to the Python peeler
+    for sym in ("er_create", "er_destroy", "er_peel_batch"):
+        if not hasattr(lib, sym):
+            raise OSError(f"libufdecode.so lacks {sym}; rebuild native/")
     if not hasattr(lib.er_create, "_configured"):
         lib.er_create.restype = ctypes.c_void_p
         lib.er_create.argtypes = [ctypes.c_int, ctypes.c_int,
