@@ -4,13 +4,21 @@ One "sim" = a full noisy smooth-JP CZ gate simulation, exactly the
 reference's hot workload (simulation.py:3485-3502): 300 piecewise-constant
 segments of a 9x9 density-matrix Lindblad evolution, applied to the
 computational basis states (+ the |++> phase probe). The reference solves
-this with 4 x 300 sequential QuTiP mesolve calls on CPU; here it is one
-batched expm + matmul-tree per parameter set, vmapped over a sweep batch.
+this with 4 x 300 sequential QuTiP mesolve calls on CPU; here the whole
+schedule is ONE matrix exponential plus a diagonally-rescaled matmul tree
+(the exact phase-frame factorization, ops/phase_frame.py), vmapped over a
+sweep batch.
 
 Baseline: the same segment sequence integrated by the CPU zvode oracle at
 the reference tolerances (atol 1e-10 / rtol 1e-8) for the 4 basis states —
 a faithful stand-in for the reference's mesolve loop (same solver family,
 same tolerances, same segmentation), since QuTiP is not installed here.
+The oracle's final states double as the on-device parity reference:
+`parity_err` is the worst-case 1 - F(rho_device, rho_zvode) over the 4
+basis states for the complex64 device path (the x64 CPU tier measures
+~1e-12; see tests/test_solver.py TestPropagatorParity).
+
+Flags: --batch N --steps N --curve --qec [--d D --rounds R --shots S]
 
 Prints ONE JSON line:
   {"metric": "cz_lindblad_sims_per_sec", "value": N, "unit": "sims/s",
@@ -29,27 +37,32 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.core.configs import SmoothJPSimulationInputs
     from noisyquantumsimulator_tpu.gate.simulate import (plan_cz_gate,
+                                                         plan_phase_frame,
                                                          plan_squaring_bound)
-    from noisyquantumsimulator_tpu.solver.propagator import Schedule, evolve_rhos
+    from noisyquantumsimulator_tpu.solver.propagator import (
+        evolve_rhos_phased, uniform_base_propagator)
     from noisyquantumsimulator_tpu.gate.fidelity import compute_cz_fidelity
     from noisyquantumsimulator_tpu.utils.transfer import (
         device_put_complex, enable_high_precision_matmul)
 
     enable_high_precision_matmul()
     plan = plan_cz_gate(SmoothJPSimulationInputs(), n_steps_smooth=n_steps)
+    g_np = plan_phase_frame(plan)
+    assert g_np is not None, "smooth-JP plan must be phase-frame eligible"
     # complex transfers go as float planes (axon backend limitation)
     ndt = np.complex64 if dtype == "complex64" else np.complex128
+    rdt = np.float32 if dtype == "complex64" else np.float64
     L0 = device_put_complex(plan.L0, ndt)
     Cp = device_put_complex(plan.Cp, ndt)
     Cm = device_put_complex(plan.Cm, ndt)
     rho0s = device_put_complex(plan.rho0s, ndt)
-    rdt = np.float32 if dtype == "complex64" else np.float64
     base_phases = np.asarray(plan.schedule.phases, rdt)
-    dts = jnp.asarray(np.asarray(plan.schedule.dts, rdt))
-    amps = jnp.asarray(np.asarray(plan.schedule.amps, rdt))
+    amp0 = float(np.asarray(plan.schedule.amps)[0])
+    dt0 = float(np.asarray(plan.schedule.dts)[0])
+    g = jnp.asarray(g_np.astype(rdt))
 
     # a realistic sweep: phase-amplitude scale factors around the optimum
-    scales = jnp.asarray(np.linspace(0.95, 1.05, batch))
+    scales = jnp.asarray(np.linspace(0.95, 1.05, batch, dtype=rdt))
 
     # NOTE: the complex arrays MUST be jit *arguments*, not closures —
     # closed-over device arrays are inlined as MLIR constants, which forces
@@ -58,14 +71,19 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
     # squaring-loop trip is a full batched matmul; don't pay for unused ones)
     ms = plan_squaring_bound(plan)
 
-    def one_sim(scale, L0, Cp, Cm, rho0s, phases):
-        sched = Schedule(amps, scale * phases, dts)
-        rhos = evolve_rhos(L0, Cp, Cm, sched, rho0s, max_squarings=ms)
-        _, avg, _ = compute_cz_fidelity(rhos, plan.kets)
-        return avg
+    def step_fn(scales, L0, Cp, Cm, rho0s, phases):
+        # ONE expm for the whole sweep: U_base is phase- and scale-free
+        Ub = uniform_base_propagator(L0, Cp, Cm, amp0, dt0,
+                                     max_squarings=ms)
 
-    vm = jax.vmap(one_sim, in_axes=(0, None, None, None, None, None))
-    inner = jax.jit(vm)
+        def one_sim(scale):
+            rhos = evolve_rhos_phased(Ub, g, scale * phases, rho0s)
+            _, avg, _ = compute_cz_fidelity(rhos, plan.kets)
+            return avg
+
+        return jax.vmap(one_sim)(scales)
+
+    inner = jax.jit(step_fn)
     phases_dev = jnp.asarray(base_phases)
 
     def step(scales):
@@ -74,8 +92,9 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
     return step, scales, plan
 
 
-def run_baseline_zvode(plan, n_states: int = 4) -> float:
-    """Seconds per reference-equivalent gate sim (zvode, CPU)."""
+def run_baseline_zvode(plan, n_states: int = 4):
+    """(seconds, final rhos (n_states, D, D)) for the reference-equivalent
+    gate sim via the CPU zvode oracle at reference tolerances."""
     from noisyquantumsimulator_tpu.solver.reference import mesolve_zvode
     from noisyquantumsimulator_tpu.ops.lindblad import (
         build_all_noise_operators, static_hamiltonian)
@@ -102,22 +121,111 @@ def run_baseline_zvode(plan, n_states: int = 4) -> float:
         gamma_scatter_intermediate=nb["gamma_scatter_intermediate"],
         gamma_leakage=nb["gamma_leakage"])
 
+    rhos = []
     t0 = time.perf_counter()
     for i in range(n_states):
-        mesolve_zvode(Hsegs, dts, plan.rho0s[i], c_ops,
-                      atol=1e-10, rtol=1e-8)
-    return time.perf_counter() - t0
+        rhos.append(mesolve_zvode(Hsegs, dts, plan.rho0s[i], c_ops,
+                                  atol=1e-10, rtol=1e-8))
+    return time.perf_counter() - t0, np.stack(rhos)
+
+
+def _state_fidelity(rho, sigma):
+    """Uhlmann fidelity (tr sqrt(sqrt(rho) sigma sqrt(rho)))^2 via eigh
+    (robust for the near-pure states here, unlike scipy.sqrtm)."""
+    rho = np.asarray(rho, np.complex128)
+    sigma = np.asarray(sigma, np.complex128)
+    w, v = np.linalg.eigh(0.5 * (rho + rho.conj().T))
+    s = (v * np.sqrt(np.clip(w, 0.0, None))) @ v.conj().T
+    m = s @ sigma @ s
+    wm = np.linalg.eigvalsh(0.5 * (m + m.conj().T))
+    return float(np.sum(np.sqrt(np.clip(wm, 0.0, None))) ** 2)
+
+
+def _phase_frame_numpy_x64(plan):
+    """Host complex128 implementation of the same phase-frame algorithm
+    (scipy expm + ordered product) — the x64 verification tier reported
+    alongside the complex64 device parity number."""
+    from scipy.linalg import expm as sexpm
+    from noisyquantumsimulator_tpu.gate.simulate import plan_phase_frame
+    g = plan_phase_frame(plan)
+    amps = np.asarray(plan.schedule.amps)
+    dts = np.asarray(plan.schedule.dts)
+    ph = np.asarray(plan.schedule.phases, np.float64)
+    Ub = sexpm((plan.L0 + amps[0] * (plan.Cp + plan.Cm)) * dts[0])
+    U = np.eye(Ub.shape[0], dtype=np.complex128)
+    prev = None
+    for k in range(len(ph)):
+        W = Ub if prev is None else \
+            Ub * np.exp(1j * (prev - ph[k]) * g)[None, :]
+        U = W @ U
+        prev = ph[k]
+    U = (np.exp(1j * ph[-1] * g)[:, None] * U
+         * np.exp(-1j * ph[0] * g)[None, :])
+    D = plan.rho0s.shape[-1]
+    vec = plan.rho0s[:4].reshape(4, D * D)
+    return (vec @ U.T).reshape(4, D, D)
+
+
+def measure_parity(plan, rhos_zvode, dtype="complex64"):
+    """Worst-case 1 - F(device state, zvode-oracle state) over the 4
+    computational basis states for the device dtype path (VERDICT r1 #4:
+    the parity number for the dtype the chip actually runs)."""
+    import jax.numpy as jnp
+    from noisyquantumsimulator_tpu.gate.simulate import (plan_phase_frame,
+                                                         plan_squaring_bound)
+    from noisyquantumsimulator_tpu.solver.propagator import (
+        evolve_rhos_phased, uniform_base_propagator)
+    from noisyquantumsimulator_tpu.utils.transfer import (device_get_complex,
+                                                          device_put_complex)
+
+    ndt = np.complex64 if dtype == "complex64" else np.complex128
+    rdt = np.float32 if dtype == "complex64" else np.float64
+    g = plan_phase_frame(plan)
+    L0 = device_put_complex(plan.L0, ndt)
+    Cp = device_put_complex(plan.Cp, ndt)
+    Cm = device_put_complex(plan.Cm, ndt)
+    rho0s = device_put_complex(plan.rho0s[:4], ndt)
+    ms = plan_squaring_bound(plan)
+    Ub = uniform_base_propagator(
+        L0, Cp, Cm, float(np.asarray(plan.schedule.amps)[0]),
+        float(np.asarray(plan.schedule.dts)[0]), max_squarings=ms)
+    rhos_dev = evolve_rhos_phased(
+        Ub, jnp.asarray(g.astype(rdt)),
+        jnp.asarray(np.asarray(plan.schedule.phases, rdt)), rho0s)
+    rhos_host = device_get_complex(rhos_dev)
+    errs = [1.0 - _state_fidelity(rhos_host[i], rhos_zvode[i])
+            for i in range(4)]
+    rhos_x64 = _phase_frame_numpy_x64(plan)
+    errs64 = [1.0 - _state_fidelity(rhos_x64[i], rhos_zvode[i])
+              for i in range(4)]
+    return float(np.max(np.abs(errs))), float(np.max(np.abs(errs64)))
+
+
+def _sims_per_sec(step, scales, batch, reps=10):
+    import jax.numpy as jnp
+    out = step(scales)
+    float(jnp.sum(out))  # warm-up fence (block_until_ready lies on axon)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(scales)
+    mean_f = float(jnp.mean(out))  # fences the whole in-order queue
+    dt = time.perf_counter() - t0
+    return batch * reps / dt, mean_f
 
 
 def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
-             shots: int = 1 << 20):
+             shots: int = 1 << 20, decode_shots: int = 1 << 17):
     """Secondary benchmark (run with --qec): d=7 surface-code memory
     detector sampling throughput via the one-matmul MXU sampler
-    (BASELINE.md north-star #3: exceed Stim on shots/s)."""
+    (BASELINE.md north-star #3: exceed Stim on shots/s), plus the honest
+    end-to-end number: sample + EXACT on-device MWPM decode + p_L, all
+    inside one jitted call (VERDICT r1 #3/#4)."""
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
     from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+    from noisyquantumsimulator_tpu.qec.exact_matcher import (
+        exact_matcher_for_circuit)
 
     circuit = memory_z_circuit(d, rounds, p=p)
     sampler = build_fast_sampler(circuit, shots)
@@ -133,6 +241,36 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         tot += int(jnp.sum(out["detectors"].astype(jnp.int32)))  # fence
     dt = time.perf_counter() - t0
 
+    # ---- end-to-end: sample + exact DP matching decode, one jit ----
+    K = 12
+    chunk = 4096
+    dec = exact_matcher_for_circuit(circuit, max_defects=K, chunk=chunk)
+    sampler_dec = build_fast_sampler(circuit, decode_shots)
+
+    def e2e(key):
+        o = sampler_dec(key)
+        dets = o["detectors"].astype(jnp.uint8)
+        S = dets.shape[0]
+        det_chunks = dets.reshape(S // chunk, chunk, -1)
+        preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
+        obs = o["observables"][:, 0].astype(jnp.int32)
+        n_err = jnp.sum((preds ^ obs) & 1)
+        n_ovf = jnp.sum(jnp.sum(dets.astype(jnp.int32), axis=1) > K)
+        return n_err, n_ovf
+
+    e2e_j = jax.jit(e2e)
+    n_err, n_ovf = e2e_j(jax.random.PRNGKey(100))
+    int(n_err)  # fence
+    reps_d = 3
+    t0 = time.perf_counter()
+    errs = ovf = 0
+    for r in range(reps_d):
+        n_err, n_ovf = e2e_j(jax.random.PRNGKey(200 + r))
+        errs += int(n_err)
+        ovf += int(n_ovf)
+    dt_d = time.perf_counter() - t0
+    n_dec = decode_shots * reps_d
+
     print(json.dumps({
         "metric": f"surface_code_d{d}_sample_shots_per_sec",
         "value": round(shots * reps / dt, 0),
@@ -142,37 +280,44 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         "n_detectors": circuit.n_detectors,
         "detector_fraction": round(n_fire / (shots * circuit.n_detectors), 5),
         "backend": jax.devices()[0].platform,
+        "e2e_sample_decode_shots_per_sec": round(n_dec / dt_d, 0),
+        "e2e_decoder": f"on-device exact MWPM (bitmask DP, K={K})",
+        "e2e_p_logical_shot": errs / n_dec,
+        "e2e_overflow_fraction": ovf / n_dec,
     }))
 
 
-def main():
+def main(batch: int = 128, n_steps: int = 300, curve: bool = False):
     import jax
 
     backend = jax.devices()[0].platform
-    batch = 32
-    n_steps = 300
-
     step, scales, plan = build_workload(batch, n_steps)
+    sims_per_sec, mean_f = _sims_per_sec(step, scales, batch)
 
-    import jax.numpy as jnp
+    batch_curve = []
+    if curve:
+        for b in (16, 32, 64, 128, 256):
+            if b == batch:
+                batch_curve.append({"batch": b,
+                                    "sims_per_sec": round(sims_per_sec, 2)})
+                continue
+            s2, sc2, _ = build_workload(b, n_steps)
+            v, _ = _sims_per_sec(s2, sc2, b)
+            batch_curve.append({"batch": b, "sims_per_sec": round(v, 2)})
 
-    # warmup / compile; a scalar host fetch is the only reliable fence on
-    # the tunneled backend (block_until_ready returns early there)
-    out = step(scales)
-    float(jnp.sum(out))
-
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step(scales)
-    mean_f = float(jnp.mean(out))  # fences the whole in-order queue
-    dt = time.perf_counter() - t0
-    sims_per_sec = batch * reps / dt
-
-    t_ref = run_baseline_zvode(plan)
+    t_ref, rhos_zvode = run_baseline_zvode(plan)
     baseline_sims_per_sec = 1.0 / t_ref
+    parity_err, parity_err_x64 = measure_parity(plan, rhos_zvode)
 
-    print(json.dumps({
+    # useful-math FLOP accounting per sim (unpadded 9x9 superoperator
+    # algebra; a complex matmul = 4 real D^3 products under XLA):
+    # tree (n-1 matmuls) + diagonal scalings + state application; the
+    # shared U_base expm is amortized across the batch.
+    D2 = plan.L0.shape[0]
+    flops_per_sim = (n_steps - 1) * 8 * D2 ** 3 + n_steps * 6 * D2 ** 2
+    achieved_gflops = sims_per_sec * flops_per_sim / 1e9
+
+    out = {
         "metric": "cz_lindblad_sims_per_sec",
         "value": round(sims_per_sec, 2),
         "unit": "sims/s",
@@ -185,7 +330,14 @@ def main():
         "device": str(jax.devices()[0]),
         "dtype": "complex64",
         "mean_fidelity": round(mean_f, 6),
-    }))
+        "parity_err_c64_vs_zvode": parity_err,
+        "parity_err_x64_vs_zvode": parity_err_x64,
+        "achieved_useful_gflops": round(achieved_gflops, 1),
+        "engine": "phase-frame: one expm + diagonal-rescaled matmul tree",
+    }
+    if batch_curve:
+        out["batch_curve"] = batch_curve
+    print(json.dumps(out))
 
 
 def _flag(argv, name, default, cast=int):
@@ -201,4 +353,6 @@ if __name__ == "__main__":
                  rounds=_flag(sys.argv, "--rounds", 7),
                  shots=_flag(sys.argv, "--shots", 1 << 20))
     else:
-        main()
+        main(batch=_flag(sys.argv, "--batch", 128),
+             n_steps=_flag(sys.argv, "--steps", 300),
+             curve="--curve" in sys.argv)

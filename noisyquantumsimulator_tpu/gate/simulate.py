@@ -43,7 +43,8 @@ from ..ops.hilbert import HS3, HS4, kets_to_density, two_atom_kets
 from ..ops.lindblad import (build_all_noise_operators, drive_decomposition,
                             static_hamiltonian)
 from ..solver.propagator import (Schedule, bangbang_schedule, evolve_rhos,
-                                 lp_square_schedule, smooth_jp_schedule)
+                                 evolve_rhos_phased, lp_square_schedule,
+                                 smooth_jp_schedule, uniform_base_propagator)
 from .fidelity import compute_cz_fidelity
 
 SimInputs = Union[LPSimulationInputs, JPSimulationInputs, SmoothJPSimulationInputs]
@@ -570,6 +571,24 @@ def plan_cz_gate(
 # execution (steps 10-11, jitted)
 # =============================================================================
 
+def plan_phase_frame(plan: GatePlan):
+    """The phase-frame generator g (ops/phase_frame.py) when the plan's
+    schedule is eligible for the one-expm fast path: uniform amplitudes
+    and durations, no per-segment detunings, and exactly phase-covariant
+    (L0, C+, C-) — verified numerically, host-side. None otherwise."""
+    from ..ops.phase_frame import phase_frame_generator
+    from ..ops.hilbert import HS3, HS4
+    sched = plan.schedule
+    if sched.dets is not None:
+        return None
+    amps = np.asarray(sched.amps)
+    dts = np.asarray(sched.dts)
+    if not (np.allclose(amps, amps[0]) and np.allclose(dts, dts[0])):
+        return None
+    hs = HS3 if plan.hilbert_space_dim == 3 else HS4
+    return phase_frame_generator(plan.L0, plan.Cp, plan.Cm, hs)
+
+
 def run_plan(plan: GatePlan, dtype=None):
     """Evolve all four basis states and analyze. Returns
     (fidelities, avg_fidelity, phase_info, rhos_out)."""
@@ -582,8 +601,22 @@ def run_plan(plan: GatePlan, dtype=None):
     Cp = jnp.asarray(np.asarray(plan.Cp, ndt))
     Cm = jnp.asarray(np.asarray(plan.Cm, ndt))
     rho0s = jnp.asarray(np.asarray(plan.rho0s, ndt))
-    rhos = evolve_rhos(L0, Cp, Cm, plan.schedule, rho0s,
-                       max_squarings=plan_squaring_bound(plan))
+    ms = plan_squaring_bound(plan)
+    g = plan_phase_frame(plan)
+    if g is not None:
+        # one expm + diagonal-rescaled matmul tree (exact; see
+        # ops/phase_frame.py) instead of one expm per segment
+        rdt = np.float32 if ndt == np.complex64 else np.float64
+        sched = plan.schedule
+        Ub = uniform_base_propagator(
+            L0, Cp, Cm, float(np.asarray(sched.amps)[0]),
+            float(np.asarray(sched.dts)[0]), max_squarings=ms)
+        rhos = evolve_rhos_phased(
+            Ub, jnp.asarray(g.astype(rdt)),
+            jnp.asarray(np.asarray(sched.phases, rdt)), rho0s)
+    else:
+        rhos = evolve_rhos(L0, Cp, Cm, plan.schedule, rho0s,
+                           max_squarings=ms)
     fids, avg, phase_info = compute_cz_fidelity(rhos, plan.kets)
     return fids, avg, phase_info, rhos
 

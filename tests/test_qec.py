@@ -562,3 +562,51 @@ class TestErasureBasisX:
         rb = run_erasure_memory(3, p=0.0, p_erase=0.05, shots=10000,
                                 seed=8, basis="X", use_heralds=False)
         assert rh["p_logical_shot"] * 5 < rb["p_logical_shot"]
+
+
+class TestExactMatcherTPU:
+    """On-device bitmask-DP MWPM must be bit-identical to the native C++
+    exact decoder within the defect budget."""
+
+    def test_bit_identical_to_native(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.decoders import (
+            decoder_for_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        c = memory_z_circuit(3, rounds=3, p=4e-3)
+        S = 2048
+        out = build_fast_sampler(c, S)(jax.random.PRNGKey(5))
+        dets = np.asarray(out["detectors"], np.uint8)
+        ex = exact_matcher_for_circuit(c, max_defects=12, chunk=1024)
+        nat = decoder_for_circuit(c, "native")
+        within = dets.sum(1) <= 12
+        pred_t = ex.decode_batch(dets)[within]
+        pred_n = (np.asarray(nat.decode_batch(dets)) & 1)[within]
+        assert within.mean() > 0.99
+        assert (pred_t == pred_n).all()
+
+    def test_beats_greedy_above_threshold(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.decoders import (
+            decoder_for_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        c = memory_z_circuit(3, rounds=3, p=6e-3)
+        S = 4096
+        out = build_fast_sampler(c, S)(jax.random.PRNGKey(9))
+        dets = np.asarray(out["detectors"], np.uint8)
+        obs = np.asarray(out["observables"])[:, 0]
+        ex = exact_matcher_for_circuit(c, chunk=1024)
+        gr = decoder_for_circuit(c, "greedy")
+        p_ex = np.mean((ex.decode_batch(dets) ^ obs) & 1)
+        p_gr = np.mean(((np.asarray(gr.decode_batch(dets)) & 1) ^ obs) & 1)
+        assert p_ex <= p_gr + 1e-9

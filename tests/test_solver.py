@@ -283,3 +283,64 @@ class TestPallasSquaring:
                                                jnp.asarray(s), 4,
                                                interpret=True))
         assert np.abs(got - ref).max() < 1e-4
+
+
+class TestPhaseFrameFastPath:
+    """The one-expm phase-frame factorization (ops/phase_frame.py) must be
+    exactly equivalent to per-segment exponentiation."""
+
+    def test_generator_found_for_noisy_plans(self):
+        from noisyquantumsimulator_tpu.core.configs import (
+            SmoothJPSimulationInputs)
+        from noisyquantumsimulator_tpu.gate.simulate import (plan_cz_gate,
+                                                             plan_phase_frame)
+        plan = plan_cz_gate(SmoothJPSimulationInputs(), n_steps_smooth=64)
+        assert plan_phase_frame(plan) is not None
+
+    def test_matches_per_segment_expm(self):
+        import jax
+        from noisyquantumsimulator_tpu.core.configs import (
+            SmoothJPSimulationInputs)
+        from noisyquantumsimulator_tpu.gate.simulate import (
+            plan_cz_gate, plan_phase_frame, plan_squaring_bound)
+        from noisyquantumsimulator_tpu.solver.propagator import (
+            Schedule, evolve_rhos, evolve_rhos_phased,
+            uniform_base_propagator)
+        with jax.enable_x64(True):
+            plan = plan_cz_gate(SmoothJPSimulationInputs(),
+                                n_steps_smooth=128)
+            g = plan_phase_frame(plan)
+            ms = plan_squaring_bound(plan)
+            L0 = jnp.asarray(plan.L0)
+            Cp = jnp.asarray(plan.Cp)
+            Cm = jnp.asarray(plan.Cm)
+            rho0s = jnp.asarray(plan.rho0s)
+            sched = plan.schedule
+            amps = np.asarray(sched.amps)
+            dts = np.asarray(sched.dts)
+            phases = jnp.asarray(np.asarray(sched.phases))
+            ref = evolve_rhos(L0, Cp, Cm,
+                              Schedule(jnp.asarray(amps), phases,
+                                       jnp.asarray(dts)),
+                              rho0s, max_squarings=ms)
+            Ub = uniform_base_propagator(L0, Cp, Cm, float(amps[0]),
+                                         float(dts[0]), max_squarings=ms)
+            fast = evolve_rhos_phased(Ub, jnp.asarray(g), phases, rho0s)
+            assert float(jnp.max(jnp.abs(ref - fast))) < 1e-11
+
+    def test_dim4_generator(self):
+        from noisyquantumsimulator_tpu.core.configs import (
+            SmoothJPSimulationInputs)
+        from noisyquantumsimulator_tpu.gate.simulate import (plan_cz_gate,
+                                                             plan_phase_frame)
+        plan = plan_cz_gate(SmoothJPSimulationInputs(),
+                            hilbert_space_dim=4, n_steps_smooth=32)
+        assert plan_phase_frame(plan) is not None
+
+    def test_shaped_pulse_falls_back(self):
+        from noisyquantumsimulator_tpu.core.configs import LPSimulationInputs
+        from noisyquantumsimulator_tpu.gate.simulate import (plan_cz_gate,
+                                                             plan_phase_frame)
+        plan = plan_cz_gate(LPSimulationInputs(pulse_shape="gaussian"),
+                            n_steps_shaped=32)
+        assert plan_phase_frame(plan) is None  # non-uniform amplitudes
