@@ -30,8 +30,10 @@ class DEResult:
     energies: np.ndarray
 
 
-def _de_step(key, pop, energies, lower, upper, mutation, recombination,
-             cost_fn):
+def _de_propose(key, pop, lower, upper, mutation, recombination):
+    """rand/1/bin trial population (jitted separately from the cost so
+    host-side cost functions — e.g. per-member spacing re-planning — can
+    evaluate between propose and select)."""
     P, D = pop.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
@@ -46,8 +48,12 @@ def _de_step(key, pop, energies, lower, upper, mutation, recombination,
     # binomial crossover with guaranteed one mutated coordinate
     cross = jax.random.uniform(k3, (P, D)) < recombination
     force = jax.nn.one_hot(jax.random.randint(k4, (P,), 0, D), D, dtype=bool)
-    trial = jnp.where(cross | force, mutant, pop)
+    return jnp.where(cross | force, mutant, pop)
 
+
+def _de_step(key, pop, energies, lower, upper, mutation, recombination,
+             cost_fn):
+    trial = _de_propose(key, pop, lower, upper, mutation, recombination)
     trial_E, _ = cost_fn(trial)
     accept = trial_E < energies
     pop = jnp.where(accept[:, None], trial, pop)
@@ -66,8 +72,14 @@ def differential_evolution(
     tol: float = 0.0,
     seed: int = 42,
     init_population: Optional[np.ndarray] = None,
+    host_cost: bool = False,
 ) -> DEResult:
-    """Minimize cost_fn over box bounds. cost_fn takes the whole population."""
+    """Minimize cost_fn over box bounds. cost_fn takes the whole population.
+
+    host_cost=True keeps the cost function OUTSIDE the jitted DE step
+    (proposal and selection are still jitted/vectorized) — required when
+    the cost does host work per generation, e.g. re-planning Liouvillians
+    for per-member spacing factors."""
     bounds = np.asarray(bounds, dtype=float)
     lower = jnp.asarray(bounds[:, 0])
     upper = jnp.asarray(bounds[:, 1])
@@ -86,10 +98,25 @@ def differential_evolution(
             pop = pop.at[0].set(jnp.clip(jnp.asarray(x0), lower, upper))
 
     energies, _ = cost_fn(pop)
+    energies = jnp.asarray(energies)
 
-    step = jax.jit(partial(_de_step, mutation=mutation,
-                           recombination=recombination, cost_fn=cost_fn,
-                           lower=lower, upper=upper))
+    if host_cost:
+        propose = jax.jit(partial(_de_propose, mutation=mutation,
+                                  recombination=recombination,
+                                  lower=lower, upper=upper))
+
+        def step(k, pop, energies):
+            trial = np.asarray(propose(k, pop))
+            trial_E, _ = cost_fn(trial)
+            trial_E = np.asarray(trial_E)
+            accept = trial_E < np.asarray(energies)
+            pop = np.where(accept[:, None], trial, np.asarray(pop))
+            energies = np.where(accept, trial_E, np.asarray(energies))
+            return jnp.asarray(pop), jnp.asarray(energies)
+    else:
+        step = jax.jit(partial(_de_step, mutation=mutation,
+                               recombination=recombination, cost_fn=cost_fn,
+                               lower=lower, upper=upper))
 
     history = []
     nfev = P

@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.configs import SmoothJPSimulationInputs
+from ..ops.expm import expm
 from ..physics.protocols import compute_phase_shift_xi_jax
-from ..solver.propagator import Schedule, evolve_rhos
+from ..solver.propagator import Schedule, evolve_rhos, evolve_rhos_phased
 from ..gate.fidelity import compute_cz_fidelity
 from ..gate.simulate import plan_cz_gate
 from .apparatus import ApparatusConstraints
@@ -44,6 +45,7 @@ class FixedProblem:
     V: float
     Delta_e: float
     V_over_Omega: float
+    g: Optional[np.ndarray] = None  # phase-frame generator (ops/phase_frame)
 
 
 def build_fixed_problem(apparatus: ApparatusConstraints,
@@ -66,6 +68,11 @@ def build_fixed_problem(apparatus: ApparatusConstraints,
     # backends can neither serialize complex buffers nor fetch complex
     # device arrays back)
     ndt = np.dtype(jnp.dtype(dtype).name)
+    # phase-frame generator validated against L0_bare + Cd (the detuning
+    # channel is diagonal, so a uniform per-schedule detuning keeps the
+    # one-expm factorization exact); None -> general per-segment path
+    from ..ops.phase_frame import phase_frame_generator
+    g = phase_frame_generator(L0_bare + Cd, plan.Cp, plan.Cm, HS3)
     return FixedProblem(
         L0_bare=np.asarray(L0_bare, ndt),
         Cd=np.asarray(Cd, ndt),
@@ -75,6 +82,7 @@ def build_fixed_problem(apparatus: ApparatusConstraints,
         kets=plan.kets,
         Omega=plan.Omega, V=plan.V, Delta_e=float(si.excitation.Delta_e),
         V_over_Omega=plan.V_over_Omega,
+        g=g,
     )
 
 
@@ -102,6 +110,31 @@ def _evaluate(problem: FixedProblem, schedule: Schedule):
     return _evaluate_arrays(schedule, problem.L0_bare, problem.Cd,
                             problem.Cp, problem.Cm, problem.rho0s,
                             problem.kets)
+
+
+def _evaluate_uniform_arrays(phases, dt, det, g, L0_bare, Cd, Cp, Cm,
+                             rho0s, kets):
+    """Phase-frame fast core for uniform-(amp=1, dt, det) schedules: ONE
+    expm + diagonal-rescaled matmul tree per evaluation instead of one
+    expm per segment (solver/propagator.total_propagator_phased). det and
+    dt are traced scalars, so this stays fully differentiable in all
+    protocol parameters (including gate time)."""
+    A = (L0_bare + det * Cd + (Cp + Cm)) * dt
+    Ub = expm(A)
+    rhos = evolve_rhos_phased(Ub, g, phases, rho0s)
+    fids, avg, phase_info = compute_cz_fidelity(rhos, kets)
+    gate_time_us = phases.shape[0] * dt * 1e6
+    cost = compute_cost_arrays(avg, fids["11"],
+                               phase_info["cz_phase_fidelity"], gate_time_us)
+    metrics = {
+        "avg_fidelity": avg, "f00": fids["00"], "f01": fids["01"],
+        "f10": fids["10"], "f11": fids["11"],
+        "cz_phase_fidelity": phase_info["cz_phase_fidelity"],
+        "controlled_phase_deg": phase_info["controlled_phase_deg"],
+        "phase_error_deg": phase_info["phase_error_from_pi_deg"],
+        "gate_time_us": gate_time_us,
+    }
+    return cost, metrics
 
 
 # =============================================================================
@@ -162,6 +195,33 @@ def bangbang_schedule_from_params(params, problem: FixedProblem,
     return Schedule(amps, phases, dts, dets)
 
 
+def lp_uniform_from_params(params, problem: FixedProblem):
+    """(phases, dt, det) for the phase-frame fast core (LP square)."""
+    dow, ot = params[0], params[1]
+    Omega = problem.Omega
+    Delta = dow * Omega
+    tau = ot / Omega
+    xi = compute_phase_shift_xi_jax(Delta, Omega, tau)
+    xi_phase = jnp.angle(xi)
+    phases = jnp.stack([jnp.zeros_like(xi_phase), xi_phase])
+    return phases, tau, Delta
+
+
+def smooth_jp_uniform_from_params(params, problem: FixedProblem,
+                                  n_steps: int = 300):
+    """(phases, dt, det) for the phase-frame fast core (smooth JP)."""
+    ot, A, omr, phi0, dow_mag = (params[0], params[1], params[2],
+                                 params[3], params[4])
+    Omega = problem.Omega
+    sign = -1.0 if problem.Delta_e > 0 else 1.0
+    Delta = sign * jnp.abs(dow_mag) * Omega
+    tau = ot / Omega
+    dt = tau / n_steps
+    t_mid = (jnp.arange(n_steps) + 0.5) * dt
+    phases = A * jnp.cos(omr * Omega * t_mid - phi0)
+    return phases, dt, Delta
+
+
 SCHEDULE_BUILDERS: Dict[str, Callable] = {
     "levine_pichler": lp_schedule_from_params,
     "lp": lp_schedule_from_params,
@@ -170,20 +230,93 @@ SCHEDULE_BUILDERS: Dict[str, Callable] = {
     "jp_bangbang": bangbang_schedule_from_params,
 }
 
+# protocols whose schedules are uniform in (amp, dt, det): eligible for the
+# one-expm phase-frame core whenever problem.g exists
+UNIFORM_BUILDERS: Dict[str, Callable] = {
+    "levine_pichler": lp_uniform_from_params,
+    "lp": lp_uniform_from_params,
+    "smooth_jp": smooth_jp_uniform_from_params,
+}
 
-def make_objective(problem: FixedProblem, protocol: str,
-                   **builder_kwargs) -> Callable:
-    """Returns cost_fn(params)->(cost, metrics), jit/vmap/grad-ready."""
+
+def _make_eval_core(problem: FixedProblem, key: str, builder_kwargs: dict):
+    """(params, *consts) -> (cost, metrics) traced core + the constant
+    operand tuple (host numpy, in argument order). Picks the phase-frame
+    fast core when the protocol's schedule is uniform and the generator
+    exists; the general per-segment path otherwise."""
+    kets = problem.kets
+    if key in UNIFORM_BUILDERS and problem.g is not None:
+        ubuilder = UNIFORM_BUILDERS[key]
+        g_host = problem.g.astype(problem.L0_bare.real.dtype)
+
+        def core(params, g, L0_bare, Cd, Cp, Cm, rho0s):
+            phases, dt, det = ubuilder(params, problem, **builder_kwargs)
+            return _evaluate_uniform_arrays(phases, dt, det, g, L0_bare,
+                                            Cd, Cp, Cm, rho0s, kets)
+
+        consts = (g_host, problem.L0_bare, problem.Cd, problem.Cp,
+                  problem.Cm, problem.rho0s)
+        return core, consts
+
+    builder = SCHEDULE_BUILDERS[key]
+
+    def core(params, L0_bare, Cd, Cp, Cm, rho0s):
+        sched = builder(params, problem, **builder_kwargs)
+        return _evaluate_arrays(sched, L0_bare, Cd, Cp, Cm, rho0s, kets)
+
+    consts = (problem.L0_bare, problem.Cd, problem.Cp, problem.Cm,
+              problem.rho0s)
+    return core, consts
+
+
+def _device_consts(consts):
+    from ..utils.transfer import device_put_complex
+    return tuple(device_put_complex(np.asarray(a)) for a in consts)
+
+
+def _check_protocol(protocol: str) -> str:
     key = protocol.lower().replace("-", "_")
     if key not in SCHEDULE_BUILDERS:
         raise ValueError(f"Unknown protocol for optimization: {protocol}")
-    builder = SCHEDULE_BUILDERS[key]
+    return key
+
+
+def make_objective(problem: FixedProblem, protocol: str,
+                   **builder_kwargs) -> Callable:
+    """Returns cost_fn(params)->(cost, metrics). Like the population path,
+    the constant complex operands enter as jit ARGUMENTS (transferred once
+    via device_put_complex), so the scalar objective runs on tunneled TPU
+    backends too."""
+    key = _check_protocol(protocol)
+    core, consts = _make_eval_core(problem, key, builder_kwargs)
+    fn = jax.jit(core)
+    dev = _device_consts(consts)
 
     def objective(params):
-        sched = builder(jnp.asarray(params), problem, **builder_kwargs)
-        return _evaluate(problem, sched)
+        return fn(jnp.asarray(params), *dev)
 
     return objective
+
+
+def make_value_and_grad(problem: FixedProblem, protocol: str,
+                        **builder_kwargs) -> Callable:
+    """cost_and_grad(params) -> (cost, dcost/dparams), jitted with the
+    constant operands as arguments (axon-safe). This is the gradient-polish
+    engine: jax.grad flows through the expm propagator / phase-frame tree
+    into every protocol parameter (the reference has no analog)."""
+    key = _check_protocol(protocol)
+    core, consts = _make_eval_core(problem, key, builder_kwargs)
+
+    def cost_only(params, *ops):
+        return core(params, *ops)[0]
+
+    vg = jax.jit(jax.value_and_grad(cost_only))
+    dev = _device_consts(consts)
+
+    def call(params):
+        return vg(jnp.asarray(params), *dev)
+
+    return call
 
 
 def make_population_objective(problem: FixedProblem, protocol: str,
@@ -194,21 +327,11 @@ def make_population_objective(problem: FixedProblem, protocol: str,
     The constant complex operands are passed as jit ARGUMENTS (transferred
     once via device_put_complex), so this runs on tunneled TPU backends
     too — closured complex constants would crash there."""
-    from ..utils.transfer import device_put_complex
-    key = protocol.lower().replace("-", "_")
-    if key not in SCHEDULE_BUILDERS:
-        raise ValueError(f"Unknown protocol for optimization: {protocol}")
-    builder = SCHEDULE_BUILDERS[key]
-    kets = problem.kets
-
-    def one(params, L0_bare, Cd, Cp, Cm, rho0s):
-        sched = builder(params, problem, **builder_kwargs)
-        return _evaluate_arrays(sched, L0_bare, Cd, Cp, Cm, rho0s, kets)
-
-    vm = jax.jit(jax.vmap(one, in_axes=(0, None, None, None, None, None)))
-    dev = tuple(device_put_complex(np.asarray(a))
-                for a in (problem.L0_bare, problem.Cd, problem.Cp,
-                          problem.Cm, problem.rho0s))
+    key = _check_protocol(protocol)
+    core, consts = _make_eval_core(problem, key, builder_kwargs)
+    n_const = len(consts)
+    vm = jax.jit(jax.vmap(core, in_axes=(0,) + (None,) * n_const))
+    dev = _device_consts(consts)
 
     def call(population):
         return vm(jnp.asarray(population), *dev)
@@ -216,6 +339,63 @@ def make_population_objective(problem: FixedProblem, protocol: str,
     return call
 
 
+def make_spacing_population_objective(apparatus: ApparatusConstraints,
+                                      noise_cfg, protocol: str,
+                                      include_noise: bool = True,
+                                      **builder_kwargs) -> Callable:
+    """Population objective with spacing_factor as the LAST parameter
+    dimension (reference: optimize_cz_gate.py:1043-1051).
+
+    Spacing changes the blockade V *and every trap-dependent noise rate*,
+    so each member's Liouvillian is re-planned host-side for its spacing
+    (cached by rounded value, mirroring the reference's 4-decimal cache
+    keys) — exact physics parity, not just the coherent V(R) scaling.
+    All members still evaluate in ONE vmapped device call: only L0_bare
+    is batched (Cp/Cm/Cd/rho0s/Omega are spacing-independent)."""
+    from dataclasses import replace as dc_replace
+    from ..utils.transfer import device_put_complex
+    key = _check_protocol(protocol)
+
+    _cache: Dict[float, FixedProblem] = {}
+
+    def problem_for(sf: float) -> FixedProblem:
+        k = round(float(sf), 4)
+        if k not in _cache:
+            app = dc_replace(apparatus, spacing_factor=k)
+            _cache[k] = build_fixed_problem(app, noise_cfg,
+                                            include_noise=include_noise)
+        return _cache[k]
+
+    p0 = problem_for(apparatus.spacing_factor)
+    core, consts = _make_eval_core(p0, key, builder_kwargs)
+    # batch axis 0 on params AND on L0_bare (the only spacing-dependent
+    # constant); L0_bare sits right after g in the uniform core's argument
+    # order, or first in the general core's
+    n_const = len(consts)
+    l0_pos = 1 if (key in UNIFORM_BUILDERS and p0.g is not None) else 0
+    in_axes = (0,) + tuple(0 if i == l0_pos else None
+                           for i in range(n_const))
+    vm = jax.jit(jax.vmap(core, in_axes=in_axes))
+    dev_static = tuple(device_put_complex(np.asarray(a))
+                       for i, a in enumerate(consts) if i != l0_pos)
+
+    def call(population):
+        population = np.asarray(population)
+        prot_params = population[:, :-1]
+        sfs = population[:, -1]
+        L0s = np.stack([problem_for(sf).L0_bare for sf in sfs])
+        L0_dev = device_put_complex(L0s)
+        dev = list(dev_static)
+        dev.insert(l0_pos, L0_dev)
+        return vm(jnp.asarray(prot_params), *dev)
+
+    call.problem_for = problem_for
+    call.base_problem = p0
+    return call
+
+
 __all__ = ["FixedProblem", "build_fixed_problem", "make_objective",
-           "make_population_objective", "lp_schedule_from_params",
-           "smooth_jp_schedule_from_params", "bangbang_schedule_from_params"]
+           "make_value_and_grad", "make_population_objective",
+           "make_spacing_population_objective",
+           "lp_schedule_from_params", "smooth_jp_schedule_from_params",
+           "bangbang_schedule_from_params"]

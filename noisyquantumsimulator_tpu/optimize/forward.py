@@ -25,7 +25,9 @@ from ..gate.simulate import simulate_cz_gate
 from .apparatus import ApparatusConstraints, OptimizationResult, _global_cache
 from .cost import compute_cost, extract_metrics
 from .de import differential_evolution
-from .engine import build_fixed_problem, make_objective, make_population_objective
+from .engine import (build_fixed_problem, make_objective,
+                     make_population_objective,
+                     make_spacing_population_objective, make_value_and_grad)
 
 
 # =============================================================================
@@ -120,6 +122,9 @@ def optimize_cz_gate(
     grad_polish: bool = True,
     polish_steps: int = 60,
     polish_lr: float = 0.02,
+    co_optimize_spacing: bool = False,
+    spacing_bounds: Optional[Tuple[float, float]] = None,
+    strategy: str = "standard",
     verbose: bool = False,
 ) -> OptimizationResult:
     """Optimize protocol parameters under a fixed apparatus.
@@ -128,6 +133,16 @@ def optimize_cz_gate(
     protocol: "lp" | "smooth_jp" | "jp_bangbang"
     For bang-bang, both 5- and 7-segment variants are tried and the best is
     kept (optimize_cz_gate.py:905).
+
+    co_optimize_spacing appends spacing_factor as an extra DE dimension
+    (optimize_cz_gate.py:1043-1051): each member's Liouvillian is
+    re-planned for its spacing (full trap-noise pipeline), batched into
+    one device call per generation.
+
+    strategy="two_phase" (smooth-JP only, optimize_cz_gate.py:1179-1244):
+    phase 1 optimizes omega_tau (+ spacing) alone at literature defaults,
+    phase 2 fine-tunes all parameters with omega_tau bounds tightened to
+    +-30% around the phase-1 optimum.
     """
     if apparatus is None:
         apparatus = ApparatusConstraints()
@@ -136,23 +151,29 @@ def optimize_cz_gate(
     problem = build_fixed_problem(apparatus, noise_cfg,
                                   include_noise=include_noise)
     p = protocol.lower().replace("-", "_")
+    opt_kwargs = dict(maxiter=maxiter, popsize=popsize, seed=seed,
+                      grad_polish=grad_polish, polish_steps=polish_steps,
+                      polish_lr=polish_lr, verbose=verbose,
+                      apparatus=apparatus, noise_cfg=noise_cfg,
+                      include_noise=include_noise,
+                      co_optimize_spacing=co_optimize_spacing,
+                      spacing_bounds=spacing_bounds, strategy=strategy)
 
     t0 = time.time()
     if p in ("jp_bangbang", "jandura_pupillo", "jp"):
         variants = {}
         for n_seg in (5, 7):
+            b, x = ((bounds, x0) if bounds is not None
+                    else get_jp_bangbang_bounds_and_x0(n_seg))
             res = _optimize_single(problem, "jandura_pupillo",
-                                   dict(n_segments=n_seg),
-                                   *(bounds, x0) if bounds is not None
-                                   else get_jp_bangbang_bounds_and_x0(n_seg),
-                                   maxiter=maxiter, popsize=popsize, seed=seed,
-                                   grad_polish=grad_polish,
-                                   polish_steps=polish_steps,
-                                   polish_lr=polish_lr, verbose=verbose)
+                                   dict(n_segments=n_seg), b, x,
+                                   **opt_kwargs)
             variants[f"{n_seg}-segment"] = res
         best_key = min(variants, key=lambda k: variants[k]["cost"])
         best = variants[best_key]
         names = _bb_param_names(5 if best_key.startswith("5") else 7)
+        if co_optimize_spacing:
+            names = names + ["spacing_factor"]
         result = OptimizationResult(
             success=best["metrics"]["avg_fidelity"] > 0.9,
             protocol="jandura_pupillo", best_params=best["x"],
@@ -178,11 +199,9 @@ def optimize_cz_gate(
     if x0 is not None:
         x = np.asarray(x0)
 
-    best = _optimize_single(problem, key, {}, b, x, maxiter=maxiter,
-                            popsize=popsize, seed=seed,
-                            grad_polish=grad_polish,
-                            polish_steps=polish_steps, polish_lr=polish_lr,
-                            verbose=verbose)
+    best = _optimize_single(problem, key, {}, b, x, **opt_kwargs)
+    if co_optimize_spacing:
+        names = list(names) + ["spacing_factor"]
     return OptimizationResult(
         success=best["metrics"]["avg_fidelity"] > 0.9, protocol=key,
         best_params=best["x"], param_names=names, best_cost=best["cost"],
@@ -192,28 +211,94 @@ def optimize_cz_gate(
 
 def _optimize_single(problem, protocol_key, builder_kwargs, bounds, x0,
                      maxiter, popsize, seed, grad_polish, polish_steps,
-                     polish_lr, verbose) -> Dict:
-    pop_obj = make_population_objective(problem, protocol_key, **builder_kwargs)
+                     polish_lr, verbose, apparatus=None, noise_cfg=None,
+                     include_noise=True, co_optimize_spacing=False,
+                     spacing_bounds=None, strategy="standard") -> Dict:
+    bounds = list(bounds)
+    x0 = np.asarray(x0, dtype=float)
+    if co_optimize_spacing:
+        sb = spacing_bounds or (1.5, 5.0)
+        bounds = bounds + [tuple(sb)]
+        x0 = np.append(x0, apparatus.spacing_factor)
+        pop_obj = make_spacing_population_objective(
+            apparatus, noise_cfg, protocol_key,
+            include_noise=include_noise, **builder_kwargs)
+    else:
+        pop_obj = make_population_objective(problem, protocol_key,
+                                            **builder_kwargs)
 
     def cost_only(pop):
         c, m = pop_obj(pop)
         return c, m
 
+    nfev = 0
+    history = []
+
+    # two-phase strategy (reference optimize_cz_gate.py:1179-1244):
+    # coarse 1-D (or 2-D with spacing) sweep of omega_tau, then tighten
+    if strategy == "two_phase" and protocol_key == "smooth_jp":
+        n_fixed = 4  # A, omega_mod_ratio, phi_offset, delta_over_omega
+        fixed = x0[1:1 + n_fixed]
+
+        def phase1_obj(pop1):
+            # pop1 columns: [omega_tau] or [omega_tau, spacing_factor]
+            pop1 = np.asarray(pop1)
+            P = pop1.shape[0]
+            full = np.concatenate(
+                [pop1[:, :1], np.broadcast_to(fixed, (P, n_fixed))] +
+                ([pop1[:, 1:2]] if co_optimize_spacing else []),
+                axis=1)
+            return cost_only(full)
+
+        p1_bounds = [bounds[0]] + ([bounds[-1]] if co_optimize_spacing
+                                   else [])
+        p1_x0 = np.array([x0[0]] + ([x0[-1]] if co_optimize_spacing
+                                    else []))
+        de1 = differential_evolution(phase1_obj, p1_bounds, x0=p1_x0,
+                                     popsize=10,
+                                     maxiter=max(20, maxiter // 4),
+                                     seed=seed, host_cost=True)
+        nfev += de1.nfev
+        ot_best = float(de1.x[0])
+        x0 = x0.copy()
+        x0[0] = ot_best
+        if co_optimize_spacing:
+            x0[-1] = float(de1.x[1])
+        bounds[0] = (max(bounds[0][0], ot_best * 0.7),
+                     min(bounds[0][1], ot_best * 1.3))
+        if verbose:
+            print(f"    two-phase: phase-1 omega_tau={ot_best:.3f} "
+                  f"cost={de1.fun:.4f}; phase-2 bounds={bounds[0]}")
+
     de = differential_evolution(cost_only, bounds, x0=x0, popsize=popsize,
-                                maxiter=maxiter, seed=seed)
+                                maxiter=maxiter, seed=seed,
+                                host_cost=co_optimize_spacing)
     x_best, cost_best = de.x, de.fun
-    nfev = de.nfev
-    history = list(de.history)
+    nfev += de.nfev
+    history += list(de.history)
 
     if grad_polish:
-        obj = make_objective(problem, protocol_key, **builder_kwargs)
-        lo = jnp.asarray([b[0] for b in bounds])
-        hi = jnp.asarray([b[1] for b in bounds])
+        # with spacing co-optimization the polish runs on the protocol
+        # sub-vector at the best member's (re-planned) spacing
+        if co_optimize_spacing:
+            polish_problem = pop_obj.problem_for(float(x_best[-1]))
+            polish_bounds = bounds[:-1]
+            x_pol = x_best[:-1]
+        else:
+            polish_problem = problem
+            polish_bounds = bounds
+            x_pol = x_best
+        obj = make_objective(polish_problem, protocol_key, **builder_kwargs)
+        lo = jnp.asarray([b[0] for b in polish_bounds])
+        hi = jnp.asarray([b[1] for b in polish_bounds])
         scale = hi - lo
 
         cost_fn = lambda x: obj(x)[0]
-        grad_fn = jax.jit(jax.value_and_grad(cost_fn))
-        x = jnp.asarray(x_best)
+        # constants ride as jit arguments inside make_value_and_grad, so
+        # the polish runs on the tunneled TPU backend too
+        grad_fn = make_value_and_grad(polish_problem, protocol_key,
+                                      **builder_kwargs)
+        x = jnp.asarray(x_pol)
         best_x, best_c = x, cost_best
         lr = polish_lr
         for i in range(polish_steps):
@@ -231,10 +316,13 @@ def _optimize_single(problem, protocol_key, builder_kwargs, bounds, x0,
                 if lr < 1e-5:
                     break
         if float(best_c) < cost_best:
-            x_best, cost_best = np.asarray(best_x), float(best_c)
+            polished = np.asarray(best_x)
+            if co_optimize_spacing:
+                polished = np.append(polished, x_best[-1])
+            x_best, cost_best = polished, float(best_c)
             history.append(cost_best)
 
-    _, metrics = pop_obj(jnp.asarray(x_best)[None])
+    _, metrics = pop_obj(np.asarray(x_best)[None])
     metrics = {k: float(v[0]) for k, v in metrics.items()}
     if verbose:
         print(f"  [{protocol_key}{builder_kwargs or ''}] cost={cost_best:.4f} "

@@ -37,14 +37,21 @@ from .decoders import MatchingGraph
 
 
 def _build_level_tables(K: int):
-    """Host precompute of the DP transition tables, one entry per level.
+    """Host precompute of the DP transitions as one-hot SELECTION MATRICES.
 
-    Returns a list over popcount level k = 1..K of dicts with:
-      bnd_pred : (L_k,)      index into level k-1 dp  (mask without bit i)
-      slot_i   : (L_k,)      lowest-set-bit slot i
-      pair_pred: (L_k, K-1)  index into level k-2 dp  (mask without i, j)
-      slot_j   : (L_k, K-1)  partner slot j (padded with 0)
-      pair_ok  : (L_k, K-1)  validity of each padded pair column
+    The natural formulation gathers dp values at static subset indices,
+    but XLA gathers serialize badly on TPU (measured ~8k shots/s e2e at
+    d=7). Because every index table is static, each gather is instead a
+    matmul with a constant 0/1 matrix — exact value copies on the MXU
+    (one 1 per output column; bf16x3/HIGHEST passes reconstruct f32
+    exactly), which is ~2 orders of magnitude faster here.
+
+    Per level k = 1..K:
+      G_bnd : (L_{k-1}, L_k)        dp gather for the boundary move
+      G_pair: (L_{k-2}, L_k*(K-1))  dp gather for pair moves (k >= 2)
+      S_bi  : (K, L_k)              selects Wb[:, i] per mask
+      S_ij  : (K*K, L_k*(K-1))      selects Wm[:, i, j] per (mask, col)
+      pair_ok: (L_k, K-1)           validity of padded pair columns
     """
     by_pop = [[] for _ in range(K + 1)]
     for m in range(1 << K):
@@ -55,73 +62,105 @@ def _build_level_tables(K: int):
     for k in range(1, K + 1):
         masks = by_pop[k]
         L = len(masks)
-        bnd_pred = np.zeros(L, np.int32)
-        slot_i = np.zeros(L, np.int32)
-        pair_pred = np.zeros((L, K - 1), np.int32)
-        slot_j = np.zeros((L, K - 1), np.int32)
-        pair_ok = np.zeros((L, K - 1), bool)
+        L1 = len(by_pop[k - 1])
+        L2 = len(by_pop[k - 2]) if k >= 2 else 0
+        W = K - 1
+        G_bnd = np.zeros((L1, L), np.float32)
+        S_bi = np.zeros((K, L), np.float32)
+        G_pair = np.zeros((L2, L * W), np.float32) if k >= 2 else None
+        S_ij = np.zeros((K * K, L * W), np.float32) if k >= 2 else None
+        pair_ok = np.zeros((L, W), bool)
         for li, m in enumerate(masks):
             i = (m & -m).bit_length() - 1
-            slot_i[li] = i
-            bnd_pred[li] = pos[k - 1][m ^ (1 << i)]
+            G_bnd[pos[k - 1][m ^ (1 << i)], li] = 1.0
+            S_bi[i, li] = 1.0
             col = 0
             for j in range(i + 1, K):
                 if m >> j & 1:
-                    pair_pred[li, col] = pos[k - 2][m ^ (1 << i) ^ (1 << j)]
-                    slot_j[li, col] = j
+                    G_pair[pos[k - 2][m ^ (1 << i) ^ (1 << j)],
+                           li * W + col] = 1.0
+                    S_ij[i * K + j, li * W + col] = 1.0
                     pair_ok[li, col] = True
                     col += 1
-        tables.append(dict(bnd_pred=bnd_pred, slot_i=slot_i,
-                           pair_pred=pair_pred, slot_j=slot_j,
-                           pair_ok=pair_ok, size=L))
+        tables.append(dict(G_bnd=G_bnd, S_bi=S_bi, G_pair=G_pair,
+                           S_ij=S_ij, pair_ok=pair_ok, size=L))
     return tables
+
+
+def _sel(x, M):
+    """Exact static gather as a one-hot matmul: x (S, A) @ M (A, B)."""
+    return jax.lax.dot_general(x, M, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _dp_decode(dets, dist, parity, tables, K: int):
     """dets (S, n_det) uint8 -> exact matching observable parity (S,)."""
     S, n_det = dets.shape
     B = n_det  # boundary index in dist/parity
+    W = K - 1
 
-    # defect slots: lowest-index defects first; absent slots sit on the
-    # boundary (dist[B, B] = 0), which makes them free & parity-neutral
+    # defect slots, lowest index first (top_k beats argsort on TPU):
+    # key = bit * 2n + (n - i) ranks set bits above unset, ascending i
     bits = dets.astype(jnp.int32)
-    order = jnp.argsort(-bits, axis=1, stable=True)
-    idx = order[:, :K]
+    ar = jnp.arange(n_det, dtype=jnp.int32)
+    keys = bits * (2 * n_det) + (n_det - ar)[None, :]
+    _, idx = jax.lax.top_k(keys, K)
     valid = jnp.take_along_axis(bits, idx, axis=1) > 0
+    # absent slots sit on the boundary (dist[B, B] = 0): free and
+    # parity-neutral
     nodes = jnp.where(valid, idx, B)                       # (S, K)
 
-    Wm = dist[nodes[:, :, None], nodes[:, None, :]]        # (S, K, K)
-    Pm = parity[nodes[:, :, None], nodes[:, None, :]]
-    Wb = dist[nodes, B]                                    # (S, K)
-    Pb = parity[nodes, B]
+    # slot-pair weight/parity tables via one-hot matmuls (exact copies on
+    # the MXU; dynamic gathers from the (n+1, n+1) tables measured ~15x
+    # slower than the whole matmul DP on TPU)
+    oh = jax.nn.one_hot(nodes, n_det + 1, dtype=dist.dtype)  # (S, K, N)
+    T = jnp.einsum("skn,nm->skm", oh, dist,
+                   precision=jax.lax.Precision.HIGHEST)
+    Wm = jnp.einsum("skm,slm->skl", T, oh,
+                    precision=jax.lax.Precision.HIGHEST)     # (S, K, K)
+    Tp = jnp.einsum("skn,nm->skm", oh, parity.astype(dist.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+    Pm = jnp.einsum("skm,slm->skl", Tp, oh,
+                    precision=jax.lax.Precision.HIGHEST)
+    Wb = _sel(oh.reshape(S * K, -1), dist[:, B][:, None]).reshape(S, K)
+    Pb = _sel(oh.reshape(S * K, -1),
+              parity[:, B].astype(dist.dtype)[:, None]).reshape(S, K)
     Wm_flat = Wm.reshape(S, K * K)
     Pm_flat = Pm.reshape(S, K * K)
 
-    # dp over popcount levels; level 0 = empty set
+    def xor_f(a, b):                                       # {0.,1.} floats
+        return a + b - 2.0 * a * b
+
+    def first_min_parity(cost, par):
+        """(min cost, parity of the FIRST minimizer) along the last axis
+        — matches argmin tie-breaking without take_along_axis gathers."""
+        cbest = jnp.min(cost, axis=-1)
+        is_min = cost <= cbest[..., None]
+        first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=-1) == 1)
+        pbest = jnp.sum(jnp.where(first, par, 0.0), axis=-1)
+        return cbest, pbest
+
+    # dp over popcount levels; level 0 = empty set; parities ride as floats
     dp_prev2 = None
-    dp_prev1 = (jnp.zeros((S, 1), dist.dtype), jnp.zeros((S, 1), jnp.int32))
+    dp_prev1 = (jnp.zeros((S, 1), dist.dtype), jnp.zeros((S, 1), dist.dtype))
     for k in range(1, K + 1):
         t = tables[k - 1]
-        bnd_pred = jnp.asarray(t["bnd_pred"])
-        si = jnp.asarray(t["slot_i"])
-        cost_b = dp_prev1[0][:, bnd_pred] + Wb[:, si]      # (S, L)
-        par_b = dp_prev1[1][:, bnd_pred] ^ Pb[:, si]
+        L = t["size"]
+        cost_b = _sel(dp_prev1[0], jnp.asarray(t["G_bnd"])) \
+            + _sel(Wb, jnp.asarray(t["S_bi"]))             # (S, L)
+        par_b = xor_f(_sel(dp_prev1[1], jnp.asarray(t["G_bnd"])),
+                      _sel(Pb, jnp.asarray(t["S_bi"])))
         if k >= 2:
-            pair_pred = jnp.asarray(t["pair_pred"])        # (L, K-1)
-            sj = jnp.asarray(t["slot_j"])
-            ok = jnp.asarray(t["pair_ok"])
-            flat_ij = si[:, None] * K + sj                 # (L, K-1)
-            w_ij = Wm_flat[:, flat_ij]                     # (S, L, K-1)
-            p_ij = Pm_flat[:, flat_ij]
-            cost_p = dp_prev2[0][:, pair_pred] + w_ij
-            par_p = dp_prev2[1][:, pair_pred] ^ p_ij
+            Gp = jnp.asarray(t["G_pair"])                  # (L2, L*W)
+            Sij = jnp.asarray(t["S_ij"])                   # (K*K, L*W)
+            ok = jnp.asarray(t["pair_ok"])                 # (L, W)
+            cost_p = (_sel(dp_prev2[0], Gp)
+                      + _sel(Wm_flat, Sij)).reshape(S, L, W)
+            par_p = xor_f(_sel(dp_prev2[1], Gp),
+                          _sel(Pm_flat, Sij)).reshape(S, L, W)
             big = jnp.asarray(np.float32(1e18), dist.dtype)
             cost_p = jnp.where(ok[None], cost_p, big)
-            jbest = jnp.argmin(cost_p, axis=2)             # (S, L)
-            cbest = jnp.take_along_axis(cost_p, jbest[..., None],
-                                        axis=2)[..., 0]
-            pbest = jnp.take_along_axis(par_p, jbest[..., None],
-                                        axis=2)[..., 0]
+            cbest, pbest = first_min_parity(cost_p, par_p)
             use_b = cost_b <= cbest
             dp_k = (jnp.where(use_b, cost_b, cbest),
                     jnp.where(use_b, par_b, pbest))
@@ -130,7 +169,7 @@ def _dp_decode(dets, dist, parity, tables, K: int):
         dp_prev2, dp_prev1 = dp_prev1, dp_k
 
     # level K has exactly one mask: the full set
-    return dp_prev1[1][:, 0]
+    return dp_prev1[1][:, 0].astype(jnp.int32)
 
 
 class ExactMatcherTPU:

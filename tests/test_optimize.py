@@ -158,3 +158,47 @@ class TestLegacyShims:
             c = jp_legacy.jp_bangbang_cost(x0)
         assert np.isfinite(c)
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+class TestForwardOptimizerParity:
+    """Reference parity gaps closed in round 2: spacing_factor
+    co-optimization and the two_phase strategy
+    (reference optimize_cz_gate.py:905-991, 1043-1051, 1179-1244)."""
+
+    def test_spacing_co_optimization(self):
+        from noisyquantumsimulator_tpu.optimize.forward import (
+            optimize_cz_gate)
+        r = optimize_cz_gate("smooth_jp", maxiter=3, popsize=5,
+                             grad_polish=False, co_optimize_spacing=True,
+                             spacing_bounds=(2.0, 4.0))
+        assert r.param_names[-1] == "spacing_factor"
+        assert 2.0 <= r.best_params[-1] <= 4.0
+        assert r.best_metrics["avg_fidelity"] > 0.9
+
+    def test_two_phase_strategy(self):
+        from noisyquantumsimulator_tpu.optimize.forward import (
+            optimize_cz_gate)
+        r = optimize_cz_gate("smooth_jp", maxiter=3, popsize=5,
+                             grad_polish=False, strategy="two_phase")
+        assert r.best_metrics["avg_fidelity"] > 0.9
+
+    def test_spacing_replan_changes_physics(self):
+        # different spacing -> different blockade V in L0 (full replan,
+        # not just a coherent rescale)
+        from noisyquantumsimulator_tpu.optimize.apparatus import (
+            ApparatusConstraints)
+        from noisyquantumsimulator_tpu.optimize.engine import (
+            make_spacing_population_objective)
+        import numpy as np
+        app = ApparatusConstraints()
+        obj = make_spacing_population_objective(
+            app, app.make_full_noise(), "smooth_jp")
+        p1 = obj.problem_for(2.4)
+        p2 = obj.problem_for(3.2)
+        assert not np.allclose(p1.L0_bare, p2.L0_bare)
+        pop = np.array([[10.09, 0.977, 1.242, 4.696, 0.0205, 2.4],
+                        [10.09, 0.977, 1.242, 4.696, 0.0205, 3.2]],
+                       dtype=np.float32)
+        costs, metrics = obj(pop)
+        assert np.asarray(costs).shape == (2,)
+        assert float(np.asarray(costs)[0]) != float(np.asarray(costs)[1])
