@@ -36,7 +36,9 @@ import numpy as np
 
 def state_fidelity(rho: jnp.ndarray, target_ket: jnp.ndarray) -> jnp.ndarray:
     """<t|rho|t> — fidelity of rho against a pure target."""
-    return jnp.real(jnp.einsum("i,...ij,j->...", target_ket.conj(), rho, target_ket))
+    return jnp.real(jnp.einsum("i,...ij,j->...", target_ket.conj(), rho,
+                               target_ket,
+                               precision=jax.lax.Precision.HIGHEST))
 
 
 def dominant_phase_amp(rho: jnp.ndarray, target_ket: jnp.ndarray):
@@ -45,7 +47,8 @@ def dominant_phase_amp(rho: jnp.ndarray, target_ket: jnp.ndarray):
     rank-1 matrix) and only resolves the overlap sign."""
     evals, evecs = jnp.linalg.eigh(rho)
     vmax = evecs[..., :, -1]
-    ov = jnp.einsum("i,...i->...", target_ket.conj(), vmax)
+    ov = jnp.einsum("i,...i->...", target_ket.conj(), vmax,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.angle(ov), jnp.abs(ov)
 
 
@@ -136,8 +139,10 @@ def mixed_state_fidelity(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     via eigendecompositions (batched-safe)."""
     er, vr = jnp.linalg.eigh(rho)
     er = jnp.clip(er, 0.0, None)
-    sq = (vr * jnp.sqrt(er)[..., None, :]) @ jnp.swapaxes(vr.conj(), -1, -2)
-    M = sq @ sigma @ sq
+    P = jax.lax.Precision.HIGHEST
+    sq = jnp.matmul(vr * jnp.sqrt(er)[..., None, :],
+                    jnp.swapaxes(vr.conj(), -1, -2), precision=P)
+    M = jnp.matmul(jnp.matmul(sq, sigma, precision=P), sq, precision=P)
     em = jnp.linalg.eigvalsh(M)
     em = jnp.clip(em, 0.0, None)
     return jnp.sum(jnp.sqrt(em), axis=-1) ** 2

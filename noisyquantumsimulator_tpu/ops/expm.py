@@ -33,6 +33,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# All matmuls in this module run at HIGHEST precision explicitly: the TPU
+# default truncates operands to one bf16 pass, which accumulates ~1e-2
+# error over a 300-segment propagator product — enough that optimizers
+# "discover" unphysical F > 1 artifacts. HIGHEST reconstructs full f32.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
 # Pade-13 coefficients (Higham, "The scaling and squaring method for the
 # matrix exponential revisited", SIAM J. Matrix Anal. 2005).
 _B13 = (
@@ -61,18 +72,18 @@ def _square(R, s, max_squarings):
     """Masked fixed-trip squaring loop (vmap-safe, reverse-differentiable)."""
     def body(i, R):
         do = i < s  # per-batch-element mask
-        return jnp.where(do[..., None, None], R @ R, R)
+        return jnp.where(do[..., None, None], _mm(R, R), R)
     return jax.lax.fori_loop(0, max_squarings, body, R)
 
 
 def _pade13(As, I):
     b = [jnp.asarray(c, dtype=As.dtype) for c in _B13]
-    A2 = As @ As
-    A4 = A2 @ A2
-    A6 = A2 @ A4
-    U = As @ (A6 @ (b[13] * A6 + b[11] * A4 + b[9] * A2)
-              + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * I)
-    V = (A6 @ (b[12] * A6 + b[10] * A4 + b[8] * A2)
+    A2 = _mm(As, As)
+    A4 = _mm(A2, A2)
+    A6 = _mm(A2, A4)
+    U = _mm(As, _mm(A6, b[13] * A6 + b[11] * A4 + b[9] * A2)
+             + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * I)
+    V = (_mm(A6, b[12] * A6 + b[10] * A4 + b[8] * A2)
          + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * I)
     return jnp.linalg.solve(V - U, V + U)
 
@@ -82,17 +93,17 @@ def _taylor16(As, I):
     p = B0 + A4 (B1 + A4 (B2 + A4 (B3 + c16 A4))), Bj cubic in A.
     6 matmuls total (A2, A3, A4 + 3 Horner steps), no linear solve."""
     c = [jnp.asarray(v, dtype=As.dtype) for v in _INVFACT]
-    A2 = As @ As
-    A3 = A2 @ As
-    A4 = A2 @ A2
+    A2 = _mm(As, As)
+    A3 = _mm(A2, As)
+    A4 = _mm(A2, A2)
 
     def block(k):
         return c[k] * I + c[k + 1] * As + c[k + 2] * A2 + c[k + 3] * A3
 
     R = block(12) + c[16] * A4
-    R = block(8) + A4 @ R
-    R = block(4) + A4 @ R
-    return block(0) + A4 @ R
+    R = block(8) + _mm(A4, R)
+    R = block(4) + _mm(A4, R)
+    return block(0) + _mm(A4, R)
 
 
 def _cmm(Ar, Ai, Br, Bi):
@@ -101,9 +112,9 @@ def _cmm(Ar, Ai, Br, Bi):
     real = P1 - P2, imag = P3 - P1 - P2.
     XLA lowers a complex matmul to 4 real matmuls; this saves 25% of the
     MXU work in the expm hot path at ~1 extra ulp of f32 error."""
-    P1 = Ar @ Br
-    P2 = Ai @ Bi
-    P3 = (Ar + Ai) @ (Br + Bi)
+    P1 = _mm(Ar, Br)
+    P2 = _mm(Ai, Bi)
+    P3 = _mm(Ar + Ai, Br + Bi)
     return P1 - P2, P3 - P1 - P2
 
 
@@ -184,7 +195,7 @@ def expm(A: jnp.ndarray, max_squarings: int = 12,
 def expm_apply(A: jnp.ndarray, X: jnp.ndarray, max_squarings: int = 12) -> jnp.ndarray:
     """exp(A) @ X without materializing exp(A) separately (same cost here;
     provided for API symmetry with sparse/Krylov backends added later)."""
-    return expm(A, max_squarings=max_squarings) @ X
+    return _mm(expm(A, max_squarings=max_squarings), X)
 
 
 def chained_product(U: jnp.ndarray) -> jnp.ndarray:
@@ -196,7 +207,7 @@ def chained_product(U: jnp.ndarray) -> jnp.ndarray:
         half = n // 2
         even = U[0:2 * half:2]
         odd = U[1:2 * half:2]
-        prod = odd @ even  # later segment applied after earlier
+        prod = _mm(odd, even)  # later segment applied after earlier
         if n % 2 == 1:
             U = jnp.concatenate([prod, U[-1:]], axis=0)
         else:

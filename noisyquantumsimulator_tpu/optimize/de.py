@@ -51,14 +51,6 @@ def _de_propose(key, pop, lower, upper, mutation, recombination):
     return jnp.where(cross | force, mutant, pop)
 
 
-def _de_step(key, pop, energies, lower, upper, mutation, recombination,
-             cost_fn):
-    trial = _de_propose(key, pop, lower, upper, mutation, recombination)
-    trial_E, _ = cost_fn(trial)
-    accept = trial_E < energies
-    pop = jnp.where(accept[:, None], trial, pop)
-    energies = jnp.where(accept, trial_E, energies)
-    return pop, energies
 
 
 def differential_evolution(
@@ -76,10 +68,14 @@ def differential_evolution(
 ) -> DEResult:
     """Minimize cost_fn over box bounds. cost_fn takes the whole population.
 
-    host_cost=True keeps the cost function OUTSIDE the jitted DE step
-    (proposal and selection are still jitted/vectorized) — required when
-    the cost does host work per generation, e.g. re-planning Liouvillians
-    for per-member spacing factors."""
+    The cost function always evaluates OUTSIDE the jitted propose step:
+    objectives carry their constant complex operands as arguments of
+    their own jit (engine.make_population_objective), and inlining them
+    into an outer jit would embed device arrays as MLIR constants — a
+    host fetch of complex data that tunneled TPU backends cannot do.
+    This also permits host-side costs (host_cost=True semantics, e.g.
+    per-member spacing re-planning) with no separate code path; the flag
+    is kept for API stability and has no effect."""
     bounds = np.asarray(bounds, dtype=float)
     lower = jnp.asarray(bounds[:, 0])
     upper = jnp.asarray(bounds[:, 1])
@@ -98,25 +94,21 @@ def differential_evolution(
             pop = pop.at[0].set(jnp.clip(jnp.asarray(x0), lower, upper))
 
     energies, _ = cost_fn(pop)
-    energies = jnp.asarray(energies)
+    energies = np.asarray(energies)
+    pop = np.asarray(pop)
 
-    if host_cost:
-        propose = jax.jit(partial(_de_propose, mutation=mutation,
-                                  recombination=recombination,
-                                  lower=lower, upper=upper))
+    propose = jax.jit(partial(_de_propose, mutation=mutation,
+                              recombination=recombination,
+                              lower=lower, upper=upper))
 
-        def step(k, pop, energies):
-            trial = np.asarray(propose(k, pop))
-            trial_E, _ = cost_fn(trial)
-            trial_E = np.asarray(trial_E)
-            accept = trial_E < np.asarray(energies)
-            pop = np.where(accept[:, None], trial, np.asarray(pop))
-            energies = np.where(accept, trial_E, np.asarray(energies))
-            return jnp.asarray(pop), jnp.asarray(energies)
-    else:
-        step = jax.jit(partial(_de_step, mutation=mutation,
-                               recombination=recombination, cost_fn=cost_fn,
-                               lower=lower, upper=upper))
+    def step(k, pop, energies):
+        trial = np.asarray(propose(k, jnp.asarray(pop)))
+        trial_E, _ = cost_fn(trial)
+        trial_E = np.asarray(trial_E)
+        accept = trial_E < energies
+        pop = np.where(accept[:, None], trial, pop)
+        energies = np.where(accept, trial_E, energies)
+        return pop, energies
 
     history = []
     nfev = P
@@ -124,11 +116,11 @@ def differential_evolution(
         key, k = jax.random.split(key)
         pop, energies = step(k, pop, energies)
         nfev += P
-        best = float(jnp.min(energies))
+        best = float(np.min(energies))
         history.append(best)
         if tol > 0 and it > 5:
-            spread = float(jnp.std(energies))
-            if spread <= tol * abs(float(jnp.mean(energies)) + 1e-12):
+            spread = float(np.std(energies))
+            if spread <= tol * abs(float(np.mean(energies)) + 1e-12):
                 break
 
     energies_np = np.asarray(energies)

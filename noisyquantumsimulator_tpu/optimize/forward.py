@@ -377,20 +377,18 @@ def main(argv=None):
     ap.add_argument("--popsize", type=int, default=15)
     ap.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"],
-                    help="auto forces CPU on tunneled (axon) TPU backends, "
-                         "whose transfer rules the optimizer engine does "
-                         "not yet satisfy")
+                    help="auto uses whatever backend JAX selects; the DE, "
+                         "scalar-objective and gradient-polish paths all "
+                         "ship complex constants as jit arguments, so "
+                         "tunneled (axon) TPU backends work too")
     args = ap.parse_args(argv)
 
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    elif (args.platform == "auto"
-          and "axon" in os.environ.get("JAX_PLATFORMS", "")):
-        jax.config.update("jax_platforms", "cpu")
-        print("[nqs-optimize-cz] running on CPU "
-              "(tunneled TPU backend detected)")
-    jax.config.update("jax_enable_x64", True)
+    # x64 only off-TPU (TPUs have no native f64)
+    if jax.devices()[0].platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
     res = optimize_cz_gate(args.protocol, include_noise=args.noise,
                            maxiter=args.maxiter, popsize=args.popsize,
                            verbose=True)

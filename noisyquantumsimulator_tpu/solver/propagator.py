@@ -87,7 +87,8 @@ def evolve_rhos(L0, Cp, Cm, schedule: Schedule, rho0s, Cd=None,
                          max_squarings=max_squarings,
                          expm_method=expm_method)
     vec = rho0s.reshape(B, D * D)
-    out = vec @ U.T  # (B, D^2) x (D^2, D^2)^T == (U @ vec_b) batched
+    # (B, D^2) x (D^2, D^2)^T == (U @ vec_b) batched
+    out = jnp.matmul(vec, U.T, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(B, D, D)
 
 
@@ -139,7 +140,8 @@ def evolve_rhos_phased(U_base, g, phases, rho0s):
     B, D, _ = rho0s.shape
     U = total_propagator_phased(U_base, g, phases)
     vec = rho0s.reshape(B, D * D)
-    return (vec @ U.T).reshape(B, D, D)
+    return jnp.matmul(vec, U.T,
+                      precision=jax.lax.Precision.HIGHEST).reshape(B, D, D)
 
 
 @partial(jax.jit, static_argnames=())
@@ -151,7 +153,7 @@ def evolve_rhos_trajectory(L0, Cp, Cm, schedule: Schedule, rho0s, Cd=None):
     U = expm(A)
 
     def step(vec, Uk):
-        vec = vec @ Uk.T
+        vec = jnp.matmul(vec, Uk.T, precision=jax.lax.Precision.HIGHEST)
         return vec, vec
 
     v0 = rho0s.reshape(B, D * D)
