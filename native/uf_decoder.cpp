@@ -311,3 +311,78 @@ void er_peel_batch(void* h, uint8_t* dets, const uint8_t* heralds,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// OSD-0 over GF(2) for DEM-BP fallback decoding (qec/dem_decoder.py).
+// Per shot: order columns by ascending belief (most suspect first),
+// Gaussian-eliminate the row-bit-packed [H | s] in that order, read the
+// solution off the pivot columns. Bit-identical to qec/ldpc._osd0.
+// ===========================================================================
+
+#include <algorithm>
+
+extern "C" {
+
+// H: (m, n) row-major uint8; dets: (S, m); beliefs: (S, n) float32.
+// out_e: (S, n) uint8 solutions.
+void osd0_batch(const uint8_t* H, int m, int n,
+                const uint8_t* dets, const float* beliefs, int S,
+                uint8_t* out_e) {
+    const int W = (n + 1 + 63) / 64;
+    std::vector<int> order(n);
+    std::vector<uint64_t> A(static_cast<size_t>(m) * W);
+    std::vector<int> pivots;
+    pivots.reserve(m);
+
+    for (int s = 0; s < S; ++s) {
+        const float* bel = beliefs + static_cast<size_t>(s) * n;
+        for (int c = 0; c < n; ++c) order[c] = c;
+        std::sort(order.begin(), order.end(),
+                  [bel](int a, int b) {
+                      if (bel[a] != bel[b]) return bel[a] < bel[b];
+                      return a < b;   // stable tie-break = np.argsort
+                  });
+        std::fill(A.begin(), A.end(), 0);
+        for (int r = 0; r < m; ++r) {
+            const uint8_t* hrow = H + static_cast<size_t>(r) * n;
+            uint64_t* arow = A.data() + static_cast<size_t>(r) * W;
+            for (int c = 0; c < n; ++c)
+                if (hrow[order[c]])
+                    arow[c >> 6] |= (1ULL << (c & 63));
+            if (dets[static_cast<size_t>(s) * m + r])
+                arow[n >> 6] |= (1ULL << (n & 63));
+        }
+        pivots.clear();
+        int r = 0;
+        for (int c = 0; c < n && r < m; ++c) {
+            const int w = c >> 6;
+            const uint64_t bit = 1ULL << (c & 63);
+            int piv = -1;
+            for (int i = r; i < m; ++i)
+                if (A[static_cast<size_t>(i) * W + w] & bit) { piv = i; break; }
+            if (piv < 0) continue;
+            if (piv != r)
+                for (int k = 0; k < W; ++k)
+                    std::swap(A[static_cast<size_t>(r) * W + k],
+                              A[static_cast<size_t>(piv) * W + k]);
+            for (int i = 0; i < m; ++i) {
+                if (i == r) continue;
+                if (A[static_cast<size_t>(i) * W + w] & bit)
+                    for (int k = 0; k < W; ++k)
+                        A[static_cast<size_t>(i) * W + k] ^=
+                            A[static_cast<size_t>(r) * W + k];
+            }
+            pivots.push_back(c);
+            ++r;
+        }
+        uint8_t* e = out_e + static_cast<size_t>(s) * n;
+        std::fill(e, e + n, 0);
+        const int sw = n >> 6;
+        const uint64_t sbit = 1ULL << (n & 63);
+        for (size_t ri = 0; ri < pivots.size(); ++ri)
+            if (A[ri * W + sw] & sbit)
+                e[order[pivots[ri]]] = 1;
+    }
+}
+
+}  // extern "C"

@@ -110,7 +110,36 @@ class NativeMatchingDecoder:
         return out.astype(np.int64)
 
 
-__all__ = ["NativeMatchingDecoder", "NativeErasurePeeler", "native_available"]
+__all__ = ["NativeMatchingDecoder", "NativeErasurePeeler",
+           "native_available", "osd0_batch_native"]
+
+
+def osd0_batch_native(H: np.ndarray, dets: np.ndarray,
+                      beliefs: np.ndarray) -> np.ndarray:
+    """C++ OSD-0 over GF(2) for a batch of shots (bit-identical to
+    qec/ldpc._osd0, ~500x faster). Raises OSError when the library is
+    missing or predates the symbol — callers fall back to Python."""
+    lib = _load_library()
+    if not hasattr(lib, "osd0_batch"):
+        raise OSError("libufdecode.so lacks osd0_batch; rebuild native/")
+    if not hasattr(lib.osd0_batch, "_configured"):
+        lib.osd0_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.osd0_batch._configured = True
+    H = np.ascontiguousarray(H, dtype=np.uint8)
+    dets = np.ascontiguousarray(dets, dtype=np.uint8)
+    beliefs = np.ascontiguousarray(beliefs, dtype=np.float32)
+    m, n = H.shape
+    S = dets.shape[0]
+    out = np.zeros((S, n), dtype=np.uint8)
+    lib.osd0_batch(
+        H.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m, n,
+        dets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        beliefs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), S,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
 
 
 def _load_erasure_lib():

@@ -610,3 +610,36 @@ class TestExactMatcherTPU:
         p_ex = np.mean((ex.decode_batch(dets) ^ obs) & 1)
         p_gr = np.mean(((np.asarray(gr.decode_batch(dets)) & 1) ^ obs) & 1)
         assert p_ex <= p_gr + 1e-9
+
+
+class TestHybridMatcher:
+    def test_matches_exact_below_budget_and_beats_both_near_threshold(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        c = memory_z_circuit(3, rounds=3, p=2e-3)
+        S = 2048
+        out = build_fast_sampler(c, S)(jax.random.PRNGKey(2))
+        dets = np.asarray(out["detectors"], np.uint8)
+        hy = exact_matcher_for_circuit(c, hybrid=True, chunk=1024)
+        ex = exact_matcher_for_circuit(c, chunk=1024)
+        within = dets.sum(1) <= 12
+        assert (hy.decode_batch(dets)[within]
+                == ex.decode_batch(dets)[within]).all()
+
+
+class TestNativeOSD:
+    def test_bit_identical_to_python(self):
+        from noisyquantumsimulator_tpu.qec.ldpc import _osd0
+        from noisyquantumsimulator_tpu.qec.native import osd0_batch_native
+        rng = np.random.default_rng(11)
+        H = (rng.random((20, 60)) < 0.12).astype(np.uint8)
+        dets = (rng.random((8, 20)) < 0.3).astype(np.uint8)
+        bel = rng.normal(size=(8, 60)).astype(np.float32)
+        ec = osd0_batch_native(H, dets, bel)
+        ep = np.stack([_osd0(H, dets[s], bel[s]) for s in range(8)])
+        assert (ec == ep).all()
