@@ -310,11 +310,12 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False):
     parity_err, parity_err_x64 = measure_parity(plan, rhos_zvode)
 
     # useful-math FLOP accounting per sim (unpadded 9x9 superoperator
-    # algebra; a complex matmul = 4 real D^3 products under XLA):
-    # tree (n-1 matmuls) + diagonal scalings + state application; the
-    # shared U_base expm is amortized across the batch.
+    # algebra; a complex matmul = 8 D^3 real FLOPs): the factored tree
+    # does ~n/2 general + ~n/2 shared-weight complex matmuls (level 0 is
+    # elementwise), plus diagonal scalings; the shared U_base expm is
+    # amortized across the batch.
     D2 = plan.L0.shape[0]
-    flops_per_sim = (n_steps - 1) * 8 * D2 ** 3 + n_steps * 6 * D2 ** 2
+    flops_per_sim = (n_steps - 1) * 8 * D2 ** 3 + n_steps * 10 * D2 ** 2
     achieved_gflops = sims_per_sec * flops_per_sim / 1e9
 
     out = {

@@ -201,7 +201,28 @@ def expm_apply(A: jnp.ndarray, X: jnp.ndarray, max_squarings: int = 12) -> jnp.n
 def chained_product(U: jnp.ndarray) -> jnp.ndarray:
     """Ordered product U[n-1] @ ... @ U[1] @ U[0] via log-depth pairwise
     reduction (tree contraction) — O(log n) sequential batched matmuls
-    instead of an O(n) scan. U has shape (n, ..., D, D)."""
+    instead of an O(n) scan. U has shape (n, ..., D, D).
+
+    Complex inputs run on float planes with 3-mult (Karatsuba) products:
+    at HIGHEST matmul precision the tree is MXU-bound, so saving one of
+    XLA's four real products per complex matmul is a direct ~25% win
+    (round 1 measured +1.3% only because the old per-segment-expm engine
+    was HBM-bound)."""
+    if jnp.iscomplexobj(U):
+        Rr, Ri = jnp.real(U), jnp.imag(U)
+        n = U.shape[0]
+        while n > 1:
+            half = n // 2
+            er, ei = Rr[0:2 * half:2], Ri[0:2 * half:2]
+            orr, oi = Rr[1:2 * half:2], Ri[1:2 * half:2]
+            pr, pi = _cmm(orr, oi, er, ei)  # later applied after earlier
+            if n % 2 == 1:
+                Rr = jnp.concatenate([pr, Rr[-1:]], axis=0)
+                Ri = jnp.concatenate([pi, Ri[-1:]], axis=0)
+            else:
+                Rr, Ri = pr, pi
+            n = Rr.shape[0]
+        return (Rr[0] + 1j * Ri[0]).astype(U.dtype)
     n = U.shape[0]
     while n > 1:
         half = n // 2

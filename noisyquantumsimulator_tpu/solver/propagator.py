@@ -119,18 +119,63 @@ def total_propagator_phased(U_base, g, phases):
     so an n-segment schedule costs ONE expm (computed by the caller) plus
     an n-leaf matmul tree — ~25x fewer matmuls than per-segment expm.
 
+    The tree keeps every node in the factored form ``U_base @ X``:
+
+      level 0:  W_o @ W_e            = U_base @ (U_base * outer(d_o, d_e))
+                                        — pure elementwise, NO matmul
+      level k:  (U_base X_b)(U_base X_a) = U_base @ ((X_b @ U_base) @ X_a)
+                                        — X_b @ U_base is a SHARED-weight
+                                          matmul (one giant dot for the
+                                          whole level), leaving ONE
+                                          general batched matmul per pair
+
+    which halves the count of small batched matmuls — the measured
+    bottleneck on TPU (81x81 batched dots pay a fixed per-element cost
+    far above their FLOPs).
+
     g: (D^2,) real (integer-valued) generator; phases: (n,).
     """
     rdt = U_base.real.dtype
+    D2 = U_base.shape[-1]
+    P = jax.lax.Precision.HIGHEST
     g = g.astype(rdt)
     ph = phases.astype(rdt)
     dphi = jnp.concatenate([jnp.zeros((1,), rdt), ph[:-1] - ph[1:]])
     d = jnp.exp(1j * dphi[:, None] * g[None, :])          # (n, D^2)
-    W = U_base[None, :, :] * d[:, None, :]                # column scaling
-    Pr = chained_product(W)
+    n = d.shape[0]
+
+    if n == 1:
+        core = U_base * d[0][None, :]
+    else:
+        # level 0: elementwise outer-scalings of U_base
+        half = n // 2
+        de, do = d[0:2 * half:2], d[1:2 * half:2]
+        X = U_base[None] * (do[:, :, None] * de[:, None, :])  # (half,D2,D2)
+        if n % 2 == 1:
+            # odd leaf W_n = U_base @ diag(d_n): X = diag(d_n)
+            last = jnp.zeros((1, D2, D2), U_base.dtype) \
+                .at[0].set(jnp.diag(d[-1]))
+            X = jnp.concatenate([X, last], axis=0)
+
+        # levels >= 1: one shared-weight dot + one general dot per level
+        m = X.shape[0]
+        while m > 1:
+            h = m // 2
+            Xe = X[0:2 * h:2]
+            Xo = X[1:2 * h:2]
+            T = jnp.matmul(Xo.reshape(h * D2, D2), U_base,
+                           precision=P).reshape(h, D2, D2)
+            prod = jnp.matmul(T, Xe, precision=P)
+            if m % 2 == 1:
+                X = jnp.concatenate([prod, X[-1:]], axis=0)
+            else:
+                X = prod
+            m = X.shape[0]
+        core = jnp.matmul(U_base, X[0], precision=P)
+
     row = jnp.exp(1j * ph[-1] * g)
     col = jnp.exp(-1j * ph[0] * g)
-    return row[:, None] * Pr * col[None, :]
+    return row[:, None] * core * col[None, :]
 
 
 @partial(jax.jit, static_argnames=())
