@@ -643,3 +643,61 @@ class TestNativeOSD:
         ec = osd0_batch_native(H, dets, bel)
         ep = np.stack([_osd0(H, dets[s], bel[s]) for s in range(8)])
         assert (ec == ep).all()
+
+
+class TestShardedDE:
+    """DE population evaluation sharded over the 8-device CPU mesh
+    (SURVEY 2d parallel axis #3: optimizer populations)."""
+
+    def test_sharded_matches_single_device(self):
+        from noisyquantumsimulator_tpu.optimize.apparatus import (
+            ApparatusConstraints)
+        from noisyquantumsimulator_tpu.optimize.engine import (
+            build_fixed_problem, make_population_objective)
+        from noisyquantumsimulator_tpu.parallel.de_sharded import (
+            make_population_objective_sharded)
+        from noisyquantumsimulator_tpu.parallel.mesh import make_mesh
+
+        app = ApparatusConstraints()
+        problem = build_fixed_problem(app, app.make_full_noise())
+        mesh = make_mesh(8, axis_names=("pop",))
+        obj_sh = make_population_objective_sharded(problem, "smooth_jp",
+                                                   mesh=mesh)
+        obj_1 = make_population_objective(problem, "smooth_jp")
+        rng = np.random.default_rng(0)
+        # 13 members: forces padding to 16 (8-device mesh)
+        pop = np.column_stack([
+            rng.uniform(8.0, 12.0, 13),
+            rng.uniform(0.2, 1.2, 13),
+            rng.uniform(1.0, 1.5, 13),
+            rng.uniform(4.0, 5.5, 13),
+            rng.uniform(0.01, 0.03, 13)]).astype(np.float32)
+        c_sh, m_sh = obj_sh(pop)
+        c_1, m_1 = obj_1(pop)
+        assert np.asarray(c_sh).shape == (13,)
+        np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_1),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_drives_differential_evolution(self):
+        from noisyquantumsimulator_tpu.optimize.apparatus import (
+            ApparatusConstraints)
+        from noisyquantumsimulator_tpu.optimize.engine import (
+            build_fixed_problem)
+        from noisyquantumsimulator_tpu.optimize.de import (
+            differential_evolution)
+        from noisyquantumsimulator_tpu.optimize.forward import (
+            get_smooth_jp_bounds_and_x0)
+        from noisyquantumsimulator_tpu.parallel.de_sharded import (
+            make_population_objective_sharded)
+        from noisyquantumsimulator_tpu.parallel.mesh import make_mesh
+
+        app = ApparatusConstraints()
+        problem = build_fixed_problem(app, app.make_full_noise())
+        mesh = make_mesh(8, axis_names=("pop",))
+        obj = make_population_objective_sharded(problem, "smooth_jp",
+                                                mesh=mesh)
+        b, x0 = get_smooth_jp_bounds_and_x0()
+        r = differential_evolution(obj, b, x0=x0, popsize=8, maxiter=3)
+        assert np.isfinite(r.fun)
+        _, metrics = obj(r.x[None])
+        assert float(np.asarray(metrics["avg_fidelity"])[0]) > 0.9
