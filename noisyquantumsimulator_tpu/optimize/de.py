@@ -3,8 +3,9 @@
 The reference drives scipy.optimize.differential_evolution with a serial
 Python objective (reference: optimize_cz_gate.py:1052-1114, maxiter=80,
 popsize=15 -> ~1200 sequential gate sims). Here each generation is ONE
-vmapped call: population proposal/selection is jitted alongside the
-objective, so a full optimization is `maxiter` device steps.
+vmapped call: the proposal is jitted, the objective evaluates the whole
+trial population in its own jitted call (constants as arguments — see
+engine.make_population_objective), and selection is a tiny host update.
 
 Strategy: rand1bin (the scipy default), with best-member elitism.
 """
@@ -64,7 +65,6 @@ def differential_evolution(
     tol: float = 0.0,
     seed: int = 42,
     init_population: Optional[np.ndarray] = None,
-    host_cost: bool = False,
 ) -> DEResult:
     """Minimize cost_fn over box bounds. cost_fn takes the whole population.
 
@@ -73,9 +73,8 @@ def differential_evolution(
     their own jit (engine.make_population_objective), and inlining them
     into an outer jit would embed device arrays as MLIR constants — a
     host fetch of complex data that tunneled TPU backends cannot do.
-    This also permits host-side costs (host_cost=True semantics, e.g.
-    per-member spacing re-planning) with no separate code path; the flag
-    is kept for API stability and has no effect."""
+    This also permits host-side costs (per-member spacing re-planning)
+    with no separate code path."""
     bounds = np.asarray(bounds, dtype=float)
     lower = jnp.asarray(bounds[:, 0])
     upper = jnp.asarray(bounds[:, 1])

@@ -143,34 +143,25 @@ def _evaluate_uniform_arrays(phases, dt, det, g, L0_bare, Cd, Cp, Cm,
 
 def lp_schedule_from_params(params, problem: FixedProblem):
     """params = [delta_over_omega, omega_tau].
-    (optimize_cz_gate.py:339-352 _build_lp_inputs)"""
-    dow, ot = params[0], params[1]
-    Omega = problem.Omega
-    Delta = dow * Omega
-    tau = ot / Omega
-    xi = compute_phase_shift_xi_jax(Delta, Omega, tau)
-    xi_phase = jnp.angle(xi)
-    amps = jnp.ones((2,))
-    phases = jnp.stack([jnp.zeros_like(xi_phase), xi_phase])
-    dts = jnp.stack([tau, tau])
-    dets = jnp.stack([Delta, Delta])
+    (optimize_cz_gate.py:339-352 _build_lp_inputs). Delegates the
+    parameter decode to lp_uniform_from_params so the fast (phase-frame)
+    and general paths can never diverge."""
+    phases, dt, Delta = lp_uniform_from_params(params, problem)
+    n = phases.shape[0]
+    amps = jnp.ones((n,))
+    dts = jnp.full((n,), 1.0) * dt
+    dets = jnp.full((n,), 1.0) * Delta
     return Schedule(amps, phases, dts, dets)
 
 
 def smooth_jp_schedule_from_params(params, problem: FixedProblem,
                                    n_steps: int = 300):
     """params = [omega_tau, A, omega_mod_ratio, phi_offset, delta_over_omega].
-    (optimize_cz_gate.py:518-543). The dark-state sign rule maps |dow| to
-    the sign opposite Delta_e (simulation.py:3477-3483)."""
-    ot, A, omr, phi0, dow_mag = (params[0], params[1], params[2],
-                                 params[3], params[4])
-    Omega = problem.Omega
-    sign = -1.0 if problem.Delta_e > 0 else 1.0
-    Delta = sign * jnp.abs(dow_mag) * Omega
-    tau = ot / Omega
-    dt = tau / n_steps
-    t_mid = (jnp.arange(n_steps) + 0.5) * dt
-    phases = A * jnp.cos(omr * Omega * t_mid - phi0)
+    (optimize_cz_gate.py:518-543). Delegates the decode (incl. the
+    dark-state sign rule) to smooth_jp_uniform_from_params — one source
+    of truth for both evaluation paths."""
+    phases, dt, Delta = smooth_jp_uniform_from_params(params, problem,
+                                                      n_steps=n_steps)
     amps = jnp.ones((n_steps,))
     dts = jnp.full((n_steps,), 1.0) * dt
     dets = jnp.full((n_steps,), 1.0) * Delta
@@ -352,19 +343,28 @@ def make_spacing_population_objective(apparatus: ApparatusConstraints,
     keys) — exact physics parity, not just the coherent V(R) scaling.
     All members still evaluate in ONE vmapped device call: only L0_bare
     is batched (Cp/Cm/Cd/rho0s/Omega are spacing-independent)."""
+    from collections import OrderedDict
     from dataclasses import replace as dc_replace
     from ..utils.transfer import device_put_complex
     key = _check_protocol(protocol)
 
-    _cache: Dict[float, FixedProblem] = {}
+    # LRU-capped: DE proposes continuous spacings, so hits are rare and an
+    # unbounded cache would grow by ~popsize problems per generation
+    _cache: "OrderedDict[float, FixedProblem]" = OrderedDict()
+    _CACHE_CAP = 256
 
     def problem_for(sf: float) -> FixedProblem:
         k = round(float(sf), 4)
-        if k not in _cache:
-            app = dc_replace(apparatus, spacing_factor=k)
-            _cache[k] = build_fixed_problem(app, noise_cfg,
-                                            include_noise=include_noise)
-        return _cache[k]
+        if k in _cache:
+            _cache.move_to_end(k)
+            return _cache[k]
+        app = dc_replace(apparatus, spacing_factor=k)
+        prob = build_fixed_problem(app, noise_cfg,
+                                   include_noise=include_noise)
+        _cache[k] = prob
+        if len(_cache) > _CACHE_CAP:
+            _cache.popitem(last=False)
+        return prob
 
     p0 = problem_for(apparatus.spacing_factor)
     core, consts = _make_eval_core(p0, key, builder_kwargs)
@@ -379,11 +379,26 @@ def make_spacing_population_objective(apparatus: ApparatusConstraints,
     dev_static = tuple(device_put_complex(np.asarray(a))
                        for i, a in enumerate(consts) if i != l0_pos)
 
+    uses_phase_frame = l0_pos == 1
+
     def call(population):
         population = np.asarray(population)
         prot_params = population[:, :-1]
         sfs = population[:, -1]
-        L0s = np.stack([problem_for(sf).L0_bare for sf in sfs])
+        probs = [problem_for(sf) for sf in sfs]
+        if uses_phase_frame:
+            # the fast core was traced for the phase-frame factorization;
+            # build_fixed_problem re-verifies the generator per re-planned
+            # spacing (exact host-side support check) — refuse to run a
+            # member whose physics stopped being phase-covariant rather
+            # than silently evaluate it wrong
+            for sf, pr in zip(sfs, probs):
+                if pr.g is None:
+                    raise RuntimeError(
+                        f"spacing_factor={float(sf):.4f}: re-planned "
+                        "Liouvillian is not phase-frame compatible; "
+                        "rebuild the objective with a non-uniform protocol")
+        L0s = np.stack([pr.L0_bare for pr in probs])
         L0_dev = device_put_complex(L0s)
         dev = list(dev_static)
         dev.insert(l0_pos, L0_dev)

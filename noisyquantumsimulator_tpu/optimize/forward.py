@@ -257,7 +257,7 @@ def _optimize_single(problem, protocol_key, builder_kwargs, bounds, x0,
         de1 = differential_evolution(phase1_obj, p1_bounds, x0=p1_x0,
                                      popsize=10,
                                      maxiter=max(20, maxiter // 4),
-                                     seed=seed, host_cost=True)
+                                     seed=seed)
         nfev += de1.nfev
         ot_best = float(de1.x[0])
         x0 = x0.copy()
@@ -271,8 +271,7 @@ def _optimize_single(problem, protocol_key, builder_kwargs, bounds, x0,
                   f"cost={de1.fun:.4f}; phase-2 bounds={bounds[0]}")
 
     de = differential_evolution(cost_only, bounds, x0=x0, popsize=popsize,
-                                maxiter=maxiter, seed=seed,
-                                host_cost=co_optimize_spacing)
+                                maxiter=maxiter, seed=seed)
     x_best, cost_best = de.x, de.fun
     nfev += de.nfev
     history += list(de.history)

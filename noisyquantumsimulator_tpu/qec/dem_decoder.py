@@ -63,6 +63,10 @@ class DemBPDecoder:
         # uint8 matmuls bypass BLAS and were ~40x slower than the whole
         # BP kernel (measured 11.4 s vs 0.27 s at S=8192 on the bb72 DEM)
         n_bits = max(1, int(obs.max()).bit_length())
+        if n_bits > 31:
+            raise ValueError(
+                f"{n_bits} observable bits exceed the int32 bitmask this "
+                "decoder packs predictions into; split the observables")
         obs_cols = np.stack([(obs >> b) & 1 for b in range(n_bits)],
                             axis=1).astype(np.int32)           # (n_var, B)
         Ht = jnp.asarray(H.T.astype(np.int32))                 # (n_var, n_det)

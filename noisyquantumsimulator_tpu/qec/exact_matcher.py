@@ -172,6 +172,25 @@ def _dp_decode(dets, dist, parity, tables, K: int):
     return dp_prev1[1][:, 0].astype(jnp.int32)
 
 
+
+def _chunked_decode(fn, dets: np.ndarray, chunk: int) -> np.ndarray:
+    """Run a jitted per-chunk decoder over all shots using ONE compiled
+    shape: the trailing partial chunk is zero-padded to `chunk` (a second
+    shape would trigger a full recompile — minutes on tunneled TPUs with
+    the one-hot DP tables baked in as constants)."""
+    S = dets.shape[0]
+    outs = []
+    for s0 in range(0, S, chunk):
+        block = dets[s0:s0 + chunk]
+        n = block.shape[0]
+        if n < chunk:
+            block = np.concatenate(
+                [block, np.zeros((chunk - n,) + block.shape[1:],
+                                 block.dtype)])
+        outs.append(np.asarray(fn(jnp.asarray(block)))[:n])
+    return np.concatenate(outs).astype(np.int64)
+
+
 class ExactMatcherTPU:
     """Device-exact MWPM decoder (<= K defects) over the same APSP tables
     as MatchingDecoder / the native C++ decoder — bit-identical results,
@@ -199,13 +218,10 @@ class ExactMatcherTPU:
         Host entry point (chunks + fetches); use `decode_device` inside
         larger jitted pipelines."""
         dets = np.asarray(detectors, dtype=np.uint8)
-        S = dets.shape[0]
         t0 = time.perf_counter()
-        outs = []
-        for s0 in range(0, S, self.chunk):
-            outs.append(np.asarray(self._fn(jnp.asarray(dets[s0:s0 + self.chunk]))))
+        out = _chunked_decode(self._fn, dets, self.chunk)
         self.last_decode_seconds = time.perf_counter() - t0
-        return np.concatenate(outs).astype(np.int64)
+        return out
 
     def decode_device(self, dets: jnp.ndarray) -> jnp.ndarray:
         """Jit-composable decode: (S, n_det) on device -> (S,) int32."""
@@ -255,12 +271,10 @@ class HybridMatcherTPU:
 
     def decode_batch(self, detectors) -> np.ndarray:
         dets = np.asarray(detectors, dtype=np.uint8)
-        S = dets.shape[0]
         t0 = time.perf_counter()
-        outs = [np.asarray(self._fn(jnp.asarray(dets[s0:s0 + self.chunk])))
-                for s0 in range(0, S, self.chunk)]
+        out = _chunked_decode(self._fn, dets, self.chunk)
         self.last_decode_seconds = time.perf_counter() - t0
-        return np.concatenate(outs).astype(np.int64)
+        return out
 
 
 def exact_matcher_for_circuit(circuit, max_defects: int = 12,

@@ -208,7 +208,8 @@ def _osd0(H: np.ndarray, s: np.ndarray, belief: np.ndarray) -> np.ndarray:
     XORs on (m, W) word arrays instead of per-byte loops (~50x faster on
     the DEM-sized systems where OSD is the BP fallback hot path)."""
     m, n = H.shape
-    order = np.argsort(belief)          # most suspect first
+    order = np.argsort(belief, kind="stable")   # most suspect first;
+    # stable tie-break matches the C++ osd0_batch (a<b on equal beliefs)
     bits = np.concatenate([H[:, order], s[:, None]],
                           axis=1).astype(np.uint64)
     W = (n + 1 + 63) // 64

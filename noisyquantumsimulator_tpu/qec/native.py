@@ -34,10 +34,17 @@ def _find_lib_path() -> str:
     # dev tree: always run make (it is dependency-checked and near-instant
     # when up to date) so edits to uf_decoder.cpp are picked up
     makefile = os.path.join(_REPO_NATIVE_DIR, "Makefile")
+    dev_so = os.path.join(_REPO_NATIVE_DIR, "libufdecode.so")
     if os.path.exists(makefile):
-        subprocess.run(["make", "-C", _REPO_NATIVE_DIR], check=True,
-                       capture_output=True)
-        return os.path.join(_REPO_NATIVE_DIR, "libufdecode.so")
+        try:
+            subprocess.run(["make", "-C", _REPO_NATIVE_DIR], check=True,
+                           capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            # no compiler / failed build: a prebuilt library is still fine;
+            # otherwise surface OSError so callers' fallbacks engage
+            if not os.path.exists(dev_so):
+                raise OSError(f"native build failed: {e}") from e
+        return dev_so
     for d in (_PKG_NATIVE_DIR, _REPO_NATIVE_DIR):
         p = os.path.join(d, "libufdecode.so")
         if os.path.exists(p):
