@@ -32,7 +32,8 @@ import time
 import numpy as np
 
 
-def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
+def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
+                   dim: int = 3):
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.core.configs import SmoothJPSimulationInputs
@@ -46,7 +47,8 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
         device_put_complex, enable_high_precision_matmul)
 
     enable_high_precision_matmul()
-    plan = plan_cz_gate(SmoothJPSimulationInputs(), n_steps_smooth=n_steps)
+    plan = plan_cz_gate(SmoothJPSimulationInputs(), n_steps_smooth=n_steps,
+                        hilbert_space_dim=dim)
     g_np = plan_phase_frame(plan)
     assert g_np is not None, "smooth-JP plan must be phase-frame eligible"
     # complex transfers go as float planes (axon backend limitation)
@@ -94,38 +96,24 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64"):
 
 def run_baseline_zvode(plan, n_states: int = 4):
     """(seconds, final rhos (n_states, D, D)) for the reference-equivalent
-    gate sim via the CPU zvode oracle at reference tolerances."""
-    from noisyquantumsimulator_tpu.solver.reference import mesolve_zvode
-    from noisyquantumsimulator_tpu.ops.lindblad import (
-        build_all_noise_operators, static_hamiltonian)
-    from noisyquantumsimulator_tpu.ops.hamiltonians import drive_operator
-    from noisyquantumsimulator_tpu.ops.hilbert import HS3
+    gate sim via the CPU zvode oracle at reference tolerances. Integrates
+    the plan's OWN per-segment Liouvillians (dimension-agnostic: works for
+    the 3-level and the mJ-resolved 4-level models alike)."""
+    from noisyquantumsimulator_tpu.solver.reference import (
+        mesolve_zvode_liouvillian)
 
-    S = drive_operator(HS3)
     amps = np.asarray(plan.schedule.amps)
     phases = np.asarray(plan.schedule.phases)
     dts = np.asarray(plan.schedule.dts)
-    H_static = static_hamiltonian(HS3, plan.Delta, plan.V, plan.delta_zeeman,
-                                  plan.delta_stark, True)
-    Hsegs = [H_static + 0.5 * plan.Omega * a
-             * (np.exp(1j * p) * S + np.exp(-1j * p) * S.conj().T)
+    Lsegs = [plan.L0 + a * np.exp(1j * p) * plan.Cp
+             + a * np.exp(-1j * p) * plan.Cm
              for a, p in zip(amps, phases)]
-    nb = plan.noise_breakdown
-    c_ops, _ = build_all_noise_operators(
-        hs=HS3, gamma_r=nb["gamma_r"], gamma_bbr=nb["gamma_bbr"],
-        gamma_phi_laser=nb["gamma_phi_laser"],
-        gamma_phi_thermal=nb["gamma_phi_thermal"],
-        gamma_phi_zeeman=nb["gamma_phi_zeeman"],
-        gamma_loss_antitrap=nb["gamma_loss_antitrap"],
-        gamma_loss_background=nb["gamma_loss_background"],
-        gamma_scatter_intermediate=nb["gamma_scatter_intermediate"],
-        gamma_leakage=nb["gamma_leakage"])
 
     rhos = []
     t0 = time.perf_counter()
     for i in range(n_states):
-        rhos.append(mesolve_zvode(Hsegs, dts, plan.rho0s[i], c_ops,
-                                  atol=1e-10, rtol=1e-8))
+        rhos.append(mesolve_zvode_liouvillian(Lsegs, dts, plan.rho0s[i],
+                                              atol=1e-10, rtol=1e-8))
     return time.perf_counter() - t0, np.stack(rhos)
 
 
@@ -287,11 +275,12 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     }))
 
 
-def main(batch: int = 128, n_steps: int = 300, curve: bool = False):
+def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
+         dim: int = 3):
     import jax
 
     backend = jax.devices()[0].platform
-    step, scales, plan = build_workload(batch, n_steps)
+    step, scales, plan = build_workload(batch, n_steps, dim=dim)
     sims_per_sec, mean_f = _sims_per_sec(step, scales, batch)
 
     batch_curve = []
@@ -327,6 +316,7 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False):
         "baseline": "zvode CPU, 4 basis states x 300 segments, atol 1e-10 rtol 1e-8",
         "batch": batch,
         "n_segments": n_steps,
+        "hilbert_dim": dim,
         "backend": backend,
         "device": str(jax.devices()[0]),
         "dtype": "complex64",
@@ -354,6 +344,8 @@ if __name__ == "__main__":
                  rounds=_flag(sys.argv, "--rounds", 7),
                  shots=_flag(sys.argv, "--shots", 1 << 20))
     else:
-        main(batch=_flag(sys.argv, "--batch", 128),
+        dim4 = "--dim4" in sys.argv
+        main(batch=_flag(sys.argv, "--batch", 32 if dim4 else 128),
              n_steps=_flag(sys.argv, "--steps", 300),
-             curve="--curve" in sys.argv)
+             curve="--curve" in sys.argv,
+             dim=4 if dim4 else 3)

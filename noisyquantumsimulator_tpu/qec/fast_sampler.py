@@ -174,7 +174,7 @@ def build_fast_sampler(circuit: Circuit, shots: int):
         "erz": np.asarray(rows_erase_z, np.int32),
     }
     # Because sites were appended in circuit order interleaved across groups,
-    # reorder F rows into the concatenation order the device code emits:
+    # reorder F rows into the order the device code emits its bit blocks:
     order = np.concatenate([
         rows["bern"],
         rows["d1x"], rows["d1z"],
@@ -184,11 +184,21 @@ def build_fast_sampler(circuit: Circuit, shots: int):
         rows["pair"][:, 2], rows["pair"][:, 3],
         rows["erx"], rows["erz"],
     ]) if n_sites else np.zeros(0, np.int32)
-    dev["Fd"] = jnp.asarray(Fd[order])
-    dev["Fo"] = jnp.asarray(Fo[order])
 
     nb, n1 = len(bern_p), len(dep1_p)
     nd2, n2, ne = len(dep2_p), len(pair_cum), len(erase_p)
+
+    # per-block F segments: the detector/observable dot runs PER bit block
+    # and accumulates in int32 — materializing the concatenated (shots,
+    # n_sites) fault matrix costs gigabytes of HBM traffic per call and
+    # blocks XLA from fusing each RNG->compare chain into its own dot
+    seg_sizes = [nb, n1, n1, nd2, nd2, nd2, nd2, n2, n2, n2, n2, ne, ne]
+    Fd_ord, Fo_ord = Fd[order], Fo[order]
+    splits = np.cumsum(seg_sizes)[:-1]
+    dev["Fd_segs"] = [jnp.asarray(a) for a in np.split(Fd_ord, splits)
+                      if a.shape[0]]
+    dev["Fo_segs"] = [jnp.asarray(a) for a in np.split(Fo_ord, splits)
+                      if a.shape[0]]
 
     def _pair_bits(idx, blocks):
         pa, pb = idx // 4, idx % 4
@@ -210,8 +220,21 @@ def build_fast_sampler(circuit: Circuit, shots: int):
         else np.zeros((0, n_obs), np.int8),
     }
 
+    def _fast_key(key):
+        """On TPU, re-key onto the XLA RngBitGenerator ('rbg') PRNG: the
+        default threefry hash is compute-bound here (bit generation was
+        ~60% of sampler time; with rbg the per-channel index math fuses
+        into the bit generation for free). Other backends keep threefry."""
+        if jax.default_backend() != "tpu":
+            return key
+        kd = key
+        if jnp.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):
+            kd = jax.random.key_data(key)
+        return jax.random.wrap_key_data(
+            jnp.concatenate([kd.reshape(-1), kd.reshape(-1)]), impl="rbg")
+
     def sample(key):
-        kb, k1, kd2, k2, ke, kf = jax.random.split(key, 6)
+        kb, k1, kd2, k2, ke, kf = jax.random.split(_fast_key(key), 6)
         blocks = []
         if nb:
             u = jax.random.uniform(kb, (shots, nb))
@@ -252,15 +275,21 @@ def build_fast_sampler(circuit: Circuit, shots: int):
                     "heralds": heralds}
 
         # int8 operands feed the MXU on TPU; XLA's CPU backend has a
-        # lowering bug for some int8 dot fusions, so use int32 there
+        # lowering bug for some int8 dot fusions, so use int32 there.
+        # One dot per bit block (accumulated in int32) instead of a
+        # concatenated fault matrix: no multi-GB E materialization, and
+        # each block's RNG->compare chain fuses into its own dot.
         edt = (jnp.int8 if jax.default_backend() == "tpu" else jnp.int32)
-        E = jnp.concatenate([b.astype(edt) for b in blocks], axis=1)
-        dets = jax.lax.dot_general(
-            E, dev["Fd"], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        obs = jax.lax.dot_general(
-            E, dev["Fo"], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        dets = jnp.zeros((shots, n_det), jnp.int32)
+        obs = jnp.zeros((shots, n_obs), jnp.int32)
+        for b, Fd_s, Fo_s in zip(blocks, dev["Fd_segs"], dev["Fo_segs"]):
+            eb = b.astype(edt)
+            dets = dets + jax.lax.dot_general(
+                eb, Fd_s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            obs = obs + jax.lax.dot_general(
+                eb, Fo_s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
         return {"detectors": (dets & 1).astype(jnp.uint8),
                 "observables": (obs & 1).astype(jnp.uint8),
                 "heralds": heralds}

@@ -61,6 +61,34 @@ def mesolve_zvode(H_segments: Sequence[np.ndarray],
     return vec.reshape(D, D)
 
 
+def mesolve_zvode_liouvillian(L_segments: Sequence[np.ndarray],
+                              dts: Sequence[float],
+                              rho0: np.ndarray,
+                              atol: float = 1e-10, rtol: float = 1e-8,
+                              nsteps: int = 50000) -> np.ndarray:
+    """Like mesolve_zvode, but over precomputed Liouvillian matrices —
+    dimension-agnostic oracle (works for the 4-level / 256x256 model
+    where rebuilding H + c_ops by hand would duplicate the planner)."""
+    D = rho0.shape[0]
+    vec = rho0.astype(np.complex128).reshape(-1).copy()
+    for Lk, dt in zip(L_segments, dts):
+        if dt <= 0:
+            continue
+        L = np.asarray(Lk, dtype=np.complex128)
+
+        def rhs(t, y, L=L):
+            return L @ y
+
+        r = ode(rhs)
+        r.set_integrator("zvode", method="adams", atol=atol, rtol=rtol,
+                         nsteps=nsteps)
+        r.set_initial_value(vec, 0.0)
+        vec = r.integrate(dt)
+        if not r.successful():
+            raise RuntimeError("zvode integration failed")
+    return vec.reshape(D, D)
+
+
 def sesolve_zvode(H_segments, dts, psi0, atol=1e-10, rtol=1e-8,
                   nsteps=50000) -> np.ndarray:
     """Schroedinger-equation reference for noiseless checks."""
