@@ -5,9 +5,9 @@ reference's hot workload (simulation.py:3485-3502): 300 piecewise-constant
 segments of a 9x9 density-matrix Lindblad evolution, applied to the
 computational basis states (+ the |++> phase probe). The reference solves
 this with 4 x 300 sequential QuTiP mesolve calls on CPU; here the whole
-schedule is ONE matrix exponential plus a diagonally-rescaled matmul tree
-(the exact phase-frame factorization, ops/phase_frame.py), vmapped over a
-sweep batch.
+schedule is ONE matrix exponential plus a scan of shared-weight matvecs
+(the exact phase-frame factorization, ops/phase_frame.py), with the whole
+sweep batch riding a single resident weight matrix.
 
 Baseline: the same segment sequence integrated by the CPU zvode oracle at
 the reference tolerances (atol 1e-10 / rtol 1e-8) for the 4 basis states —
@@ -41,7 +41,7 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
                                                          plan_phase_frame,
                                                          plan_squaring_bound)
     from noisyquantumsimulator_tpu.solver.propagator import (
-        evolve_rhos_phased, uniform_base_propagator)
+        evolve_rhos_phased_many, uniform_base_propagator)
     from noisyquantumsimulator_tpu.gate.fidelity import compute_cz_fidelity
     from noisyquantumsimulator_tpu.utils.transfer import (
         device_put_complex, enable_high_precision_matmul)
@@ -74,16 +74,19 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
     ms = plan_squaring_bound(plan)
 
     def step_fn(scales, L0, Cp, Cm, rho0s, phases):
-        # ONE expm for the whole sweep: U_base is phase- and scale-free
+        # ONE expm for the whole sweep: U_base is phase- and scale-free;
+        # then ONE shared-weight matvec scan for every sim at once
+        # (solver/propagator.evolve_rhos_phased_many)
         Ub = uniform_base_propagator(L0, Cp, Cm, amp0, dt0,
                                      max_squarings=ms)
+        rhos = evolve_rhos_phased_many(Ub, g, scales[:, None] * phases[None],
+                                       rho0s)
 
-        def one_sim(scale):
-            rhos = evolve_rhos_phased(Ub, g, scale * phases, rho0s)
-            _, avg, _ = compute_cz_fidelity(rhos, plan.kets)
+        def fid(rhos_b):
+            _, avg, _ = compute_cz_fidelity(rhos_b, plan.kets)
             return avg
 
-        return jax.vmap(one_sim)(scales)
+        return jax.vmap(fid)(rhos)
 
     inner = jax.jit(step_fn)
     phases_dev = jnp.asarray(base_phases)
@@ -285,7 +288,7 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
 
     batch_curve = []
     if curve:
-        for b in (16, 32, 64, 128, 256):
+        for b in (128, 256, 512, 1024, 2048, 4096):
             if b == batch:
                 batch_curve.append({"batch": b,
                                     "sims_per_sec": round(sims_per_sec, 2)})
@@ -298,13 +301,16 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
     baseline_sims_per_sec = 1.0 / t_ref
     parity_err, parity_err_x64 = measure_parity(plan, rhos_zvode)
 
-    # useful-math FLOP accounting per sim (unpadded 9x9 superoperator
-    # algebra; a complex matmul = 8 D^3 real FLOPs): the factored tree
-    # does ~n/2 general + ~n/2 shared-weight complex matmuls (level 0 is
-    # elementwise), plus diagonal scalings; the shared U_base expm is
-    # amortized across the batch.
+    # useful-math FLOP accounting per sim (unpadded superoperator algebra;
+    # a complex matmul = 8 M K N real FLOPs): the matvec scan does one
+    # (n_states, D^2) x (D^2, D^2) shared-weight matmul plus two
+    # elementwise phase scalings per segment; the shared U_base expm is
+    # amortized across the batch. (The previous tree engine did ~64x more
+    # FLOPs per sim for the same physics — "useful GFLOP/s" here measures
+    # algorithm-level work, so it DROPS when the algorithm gets smarter.)
     D2 = plan.L0.shape[0]
-    flops_per_sim = (n_steps - 1) * 8 * D2 ** 3 + n_steps * 10 * D2 ** 2
+    n_states = plan.rho0s.shape[0]
+    flops_per_sim = n_steps * (8 * n_states * D2 ** 2 + 20 * n_states * D2)
     achieved_gflops = sims_per_sec * flops_per_sim / 1e9
 
     out = {
@@ -324,7 +330,7 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
         "parity_err_c64_vs_zvode": parity_err,
         "parity_err_x64_vs_zvode": parity_err_x64,
         "achieved_useful_gflops": round(achieved_gflops, 1),
-        "engine": "phase-frame: one expm + diagonal-rescaled matmul tree",
+        "engine": "phase-frame: one expm + shared-weight matvec scan",
     }
     if batch_curve:
         out["batch_curve"] = batch_curve
@@ -345,7 +351,7 @@ if __name__ == "__main__":
                  shots=_flag(sys.argv, "--shots", 1 << 20))
     else:
         dim4 = "--dim4" in sys.argv
-        main(batch=_flag(sys.argv, "--batch", 32 if dim4 else 128),
+        main(batch=_flag(sys.argv, "--batch", 256 if dim4 else 4096),
              n_steps=_flag(sys.argv, "--steps", 300),
              curve="--curve" in sys.argv,
              dim=4 if dim4 else 3)

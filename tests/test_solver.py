@@ -328,6 +328,38 @@ class TestPhaseFrameFastPath:
             fast = evolve_rhos_phased(Ub, jnp.asarray(g), phases, rho0s)
             assert float(jnp.max(jnp.abs(ref - fast))) < 1e-11
 
+    def test_many_matches_single(self):
+        """evolve_rhos_phased_many (batched schedules, one shared U_base)
+        must agree with per-schedule evolve_rhos_phased exactly."""
+        import jax
+        from noisyquantumsimulator_tpu.core.configs import (
+            SmoothJPSimulationInputs)
+        from noisyquantumsimulator_tpu.gate.simulate import (
+            plan_cz_gate, plan_phase_frame, plan_squaring_bound)
+        from noisyquantumsimulator_tpu.solver.propagator import (
+            evolve_rhos_phased, evolve_rhos_phased_many,
+            uniform_base_propagator)
+        with jax.enable_x64(True):
+            plan = plan_cz_gate(SmoothJPSimulationInputs(),
+                                n_steps_smooth=48)
+            g = jnp.asarray(plan_phase_frame(plan))
+            ms = plan_squaring_bound(plan)
+            sched = plan.schedule
+            amps = np.asarray(sched.amps)
+            dts = np.asarray(sched.dts)
+            phases = jnp.asarray(np.asarray(sched.phases))
+            Ub = uniform_base_propagator(
+                jnp.asarray(plan.L0), jnp.asarray(plan.Cp),
+                jnp.asarray(plan.Cm), float(amps[0]), float(dts[0]),
+                max_squarings=ms)
+            rho0s = jnp.asarray(plan.rho0s)
+            scales = jnp.asarray([0.9, 1.0, 1.1])
+            many = evolve_rhos_phased_many(
+                Ub, g, scales[:, None] * phases[None], rho0s)
+            for i, s in enumerate(scales):
+                one = evolve_rhos_phased(Ub, g, s * phases, rho0s)
+                assert float(jnp.max(jnp.abs(many[i] - one))) < 1e-12
+
     def test_dim4_generator(self):
         from noisyquantumsimulator_tpu.core.configs import (
             SmoothJPSimulationInputs)
