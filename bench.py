@@ -216,7 +216,7 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
     from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
     from noisyquantumsimulator_tpu.qec.exact_matcher import (
-        exact_matcher_for_circuit)
+        tiered_matcher_for_circuit)
 
     circuit = memory_z_circuit(d, rounds, p=p)
     sampler = build_fast_sampler(circuit, shots)
@@ -233,9 +233,12 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     dt = time.perf_counter() - t0
 
     # ---- end-to-end: sample + exact DP matching decode, one jit ----
+    # tiered: K=6 DP on every shot, K=12 DP on the compacted heavy tail —
+    # exact within the K=12 budget (bit-identical to the pure K=12 DP)
     K = 12
     chunk = 4096
-    dec = exact_matcher_for_circuit(circuit, max_defects=K, chunk=chunk)
+    dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
+                                     chunk=chunk)
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):
@@ -272,7 +275,8 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         "detector_fraction": round(n_fire / (shots * circuit.n_detectors), 5),
         "backend": jax.devices()[0].platform,
         "e2e_sample_decode_shots_per_sec": round(n_dec / dt_d, 0),
-        "e2e_decoder": f"on-device exact MWPM (bitmask DP, K={K})",
+        "e2e_decoder": ("on-device exact MWPM (tiered bitmask DP, "
+                        f"K=6 all shots / K={K} heavy tail)"),
         "e2e_p_logical_shot": errs / n_dec,
         "e2e_overflow_fraction": ovf / n_dec,
     }))
@@ -351,7 +355,7 @@ if __name__ == "__main__":
                  shots=_flag(sys.argv, "--shots", 1 << 20))
     else:
         dim4 = "--dim4" in sys.argv
-        main(batch=_flag(sys.argv, "--batch", 256 if dim4 else 4096),
+        main(batch=_flag(sys.argv, "--batch", 1024 if dim4 else 4096),
              n_steps=_flag(sys.argv, "--steps", 300),
              curve="--curve" in sys.argv,
              dim=4 if dim4 else 3)

@@ -277,6 +277,76 @@ class HybridMatcherTPU:
         return out
 
 
+class TieredMatcherTPU:
+    """Exact matching with per-shot cost tiering: a cheap K_light DP
+    decodes every shot, and only the (rare) heavy shots are compacted and
+    re-decoded by the full K_heavy DP.
+
+    Below threshold the defect count is strongly concentrated (d=7
+    p=1e-3: mean 2.3 defects, P(>6) ~ 3.7%), while the DP cost explodes
+    with K (measured per 4096-shot chunk: K=6 7 ms, K=12 44 ms — the
+    binomial level sizes C(K, K/2) dominate). Routing shots by defect
+    count keeps every decode EXACT within the K_heavy budget at nearly
+    the K_light price. Heavy shots are selected on device with top_k and
+    gathered once ((capacity, n_det) rows), so the whole tier decision
+    stays inside one jitted call.
+
+    Shots beyond `heavy_capacity` (astronomically unlikely at the default
+    capacity = chunk/8) or with more than K_heavy defects fall back to
+    the truncated-defect rule; `overflow_fraction` quantifies both.
+    """
+
+    def __init__(self, n_detectors: int, edges: np.ndarray, probs: np.ndarray,
+                 obs: np.ndarray, k_light: int = 6, k_heavy: int = 12,
+                 chunk: int = 8192, heavy_capacity: int | None = None):
+        C = heavy_capacity or max(chunk // 8, 64)
+        self.light = ExactMatcherTPU(n_detectors, edges, probs, obs,
+                                     max_defects=k_light, chunk=chunk)
+        self.heavy = ExactMatcherTPU(n_detectors, edges, probs, obs,
+                                     max_defects=k_heavy, chunk=C)
+        self.k_light = k_light
+        self.max_defects = k_heavy
+        self.chunk = chunk
+        self.heavy_capacity = C
+        light_fn, heavy_fn = self.light._fn, self.heavy._fn
+
+        def decode_chunk(dets):
+            nd = jnp.sum(dets.astype(jnp.int32), axis=1)
+            p_light = light_fn(dets)
+            _, hidx = jax.lax.top_k(nd, C)
+            p_heavy = heavy_fn(jnp.take(dets, hidx, axis=0))
+            is_heavy = jnp.take(nd, hidx, axis=0) > k_light
+            upd = jnp.where(is_heavy, p_heavy,
+                            jnp.take(p_light, hidx, axis=0))
+            return p_light.at[hidx].set(upd)
+
+        self._fn = jax.jit(decode_chunk)
+
+    def decode_device(self, dets: jnp.ndarray) -> jnp.ndarray:
+        """Jit-composable decode: (S, n_det) on device -> (S,) int32."""
+        return self._fn(dets)
+
+    def decode_batch(self, detectors) -> np.ndarray:
+        dets = np.asarray(detectors, dtype=np.uint8)
+        t0 = time.perf_counter()
+        out = _chunked_decode(self._fn, dets, self.chunk)
+        self.last_decode_seconds = time.perf_counter() - t0
+        return out
+
+    def overflow_fraction(self, detectors) -> float:
+        """Shots decoded with a truncated defect set: more than K_heavy
+        defects, or heavy shots past the per-chunk compaction capacity."""
+        counts = np.asarray(detectors).sum(axis=1)
+        over = np.mean(counts > self.max_defects)
+        n_heavy_over = 0
+        S = counts.shape[0]
+        for s0 in range(0, S, self.chunk):
+            n_heavy = int((counts[s0:s0 + self.chunk]
+                           > self.k_light).sum())
+            n_heavy_over += max(0, n_heavy - self.heavy_capacity)
+        return float(over + n_heavy_over / max(S, 1))
+
+
 def exact_matcher_for_circuit(circuit, max_defects: int = 12,
                               chunk: int = 8192,
                               hybrid: bool = False):
@@ -288,5 +358,16 @@ def exact_matcher_for_circuit(circuit, max_defects: int = 12,
                max_defects=max_defects, chunk=chunk)
 
 
-__all__ = ["ExactMatcherTPU", "HybridMatcherTPU",
-           "exact_matcher_for_circuit"]
+def tiered_matcher_for_circuit(circuit, k_light: int = 6,
+                               k_heavy: int = 12, chunk: int = 8192,
+                               heavy_capacity: int | None = None):
+    from .dem import build_dem, dem_to_edges
+    dem = build_dem(circuit)
+    edges, probs, obs = dem_to_edges(dem)
+    return TieredMatcherTPU(circuit.n_detectors, edges, probs, obs,
+                            k_light=k_light, k_heavy=k_heavy, chunk=chunk,
+                            heavy_capacity=heavy_capacity)
+
+
+__all__ = ["ExactMatcherTPU", "HybridMatcherTPU", "TieredMatcherTPU",
+           "exact_matcher_for_circuit", "tiered_matcher_for_circuit"]

@@ -612,6 +612,45 @@ class TestExactMatcherTPU:
         assert p_ex <= p_gr + 1e-9
 
 
+class TestTieredMatcher:
+    def test_bit_identical_to_pure_exact(self):
+        """Tier routing (K=6 DP everywhere + compacted K=12 DP on the
+        heavy tail) must reproduce the pure K=12 DP exactly."""
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit, tiered_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        from noisyquantumsimulator_tpu.qec.dem import build_dem, dem_to_edges
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            ExactMatcherTPU, TieredMatcherTPU)
+        c = memory_z_circuit(3, rounds=3, p=2e-2)  # plenty of heavy shots
+        S = 2048
+        out = build_fast_sampler(c, S)(jax.random.PRNGKey(3))
+        dets = np.asarray(out["detectors"], np.uint8)
+        # jitter the edge probabilities so min-weight matchings are unique
+        # (the symmetric d=3 graph has massive weight degeneracy, and
+        # different-K DPs may tie-break degenerate solutions differently —
+        # both are valid MWPM answers, so the bit-identity contract only
+        # holds for generic weights)
+        edges, probs, obs = dem_to_edges(build_dem(c))
+        rng = np.random.default_rng(7)
+        probs = probs * np.exp(rng.normal(0, 0.13, probs.shape))
+        # heavy_capacity=chunk: at this p ~20% of shots exceed k_light=2,
+        # far past the default chunk/8 compaction budget
+        ti = TieredMatcherTPU(c.n_detectors, edges, probs, obs,
+                              k_light=2, chunk=1024, heavy_capacity=1024)
+        ex = ExactMatcherTPU(c.n_detectors, edges, probs, obs,
+                             max_defects=12, chunk=1024)
+        within = dets.sum(1) <= 12
+        assert 0.01 < np.mean(dets.sum(1) > ti.k_light)  # tail exercised
+        assert (ti.decode_batch(dets)[within]
+                == ex.decode_batch(dets)[within]).all()
+        assert ti.overflow_fraction(dets) == ex.overflow_fraction(dets)
+
+
 class TestHybridMatcher:
     def test_matches_exact_below_budget_and_beats_both_near_threshold(self):
         import jax
