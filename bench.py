@@ -13,10 +13,14 @@ Baseline: the same segment sequence integrated by the CPU zvode oracle at
 the reference tolerances (atol 1e-10 / rtol 1e-8) for the 4 basis states —
 a faithful stand-in for the reference's mesolve loop (same solver family,
 same tolerances, same segmentation), since QuTiP is not installed here.
-The oracle's final states double as the on-device parity reference:
-`parity_err` is the worst-case 1 - F(rho_device, rho_zvode) over the 4
-basis states for the complex64 device path (the x64 CPU tier measures
-~1e-12; see tests/test_solver.py TestPropagatorParity).
+The oracle's final states double as the on-device parity reference,
+reported at three tiers every run: the complex64 throughput path
+(`parity_err_c64_vs_zvode`), an on-device float64-PLANES tier
+(`parity_err_f64_device_vs_zvode` — TPU rejects complex128 but emulates
+float64; the same phase-frame scan on two f64 planes meets the 1e-8
+target ON the chip, measured ~1e-10), and the host x64 tier
+(`parity_err_x64_vs_zvode`, ~1e-10; see tests/test_solver.py
+TestPropagatorParity).
 
 Flags: --batch N --steps N --curve --qec [--d D --rounds R --shots S]
 
@@ -157,6 +161,43 @@ def _phase_frame_numpy_x64(plan):
     return (vec @ U.T).reshape(4, D, D)
 
 
+def measure_parity_f64_device(plan):
+    """On-device f64 tier: the same phase-frame algorithm on two float64
+    PLANES (TPU rejects complex128 but emulates float64), meeting the
+    1e-8 mesolve-parity target on the chip itself. Returns worst-case
+    1 - F vs the zvode oracle and the per-4-state-sim wall time."""
+    import jax
+    import jax.numpy as jnp
+    from noisyquantumsimulator_tpu.gate.simulate import (plan_phase_frame,
+                                                         plan_squaring_bound)
+    from noisyquantumsimulator_tpu.ops.expm import expm_planes
+    from noisyquantumsimulator_tpu.solver.propagator import (
+        evolve_rhos_phased_planes)
+
+    g = plan_phase_frame(plan)
+    amp0 = float(np.asarray(plan.schedule.amps)[0])
+    dt0 = float(np.asarray(plan.schedule.dts)[0])
+    A = (plan.L0 + amp0 * (plan.Cp + plan.Cm)) * dt0
+    with jax.enable_x64(True):
+        Ar = jnp.asarray(A.real.astype(np.float64))
+        Ai = jnp.asarray(A.imag.astype(np.float64))
+        gd = jnp.asarray(g.astype(np.float64))
+        phd = jnp.asarray(np.asarray(plan.schedule.phases, np.float64))
+        r0r = jnp.asarray(plan.rho0s[:4].real.astype(np.float64))
+        r0i = jnp.asarray(plan.rho0s[:4].imag.astype(np.float64))
+        # +1: the f64 tier scales to theta = 1.0 (vs 1.8 for the f32
+        # bound plan_squaring_bound computes)
+        ms = plan_squaring_bound(plan) + 1
+        Ubr, Ubi = expm_planes(Ar, Ai, max_squarings=ms)
+        outr, outi = evolve_rhos_phased_planes(Ubr, Ubi, gd, phd, r0r, r0i)
+        np.asarray(outr)  # warm-up fence
+        t0 = time.perf_counter()
+        outr, outi = evolve_rhos_phased_planes(Ubr, Ubi, gd, phd, r0r, r0i)
+        rh = np.asarray(outr) + 1j * np.asarray(outi)
+        dt_run = time.perf_counter() - t0
+    return rh, dt_run
+
+
 def measure_parity(plan, rhos_zvode, dtype="complex64"):
     """Worst-case 1 - F(device state, zvode-oracle state) over the 4
     computational basis states for the device dtype path (VERDICT r1 #4:
@@ -189,7 +230,11 @@ def measure_parity(plan, rhos_zvode, dtype="complex64"):
     rhos_x64 = _phase_frame_numpy_x64(plan)
     errs64 = [1.0 - _state_fidelity(rhos_x64[i], rhos_zvode[i])
               for i in range(4)]
-    return float(np.max(np.abs(errs))), float(np.max(np.abs(errs64)))
+    rhos_f64dev, t_f64 = measure_parity_f64_device(plan)
+    errs_f64 = [1.0 - _state_fidelity(rhos_f64dev[i], rhos_zvode[i])
+                for i in range(4)]
+    return (float(np.max(np.abs(errs))), float(np.max(np.abs(errs64))),
+            float(np.max(np.abs(errs_f64))), t_f64)
 
 
 def _sims_per_sec(step, scales, batch, reps=10):
@@ -303,7 +348,8 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
 
     t_ref, rhos_zvode = run_baseline_zvode(plan)
     baseline_sims_per_sec = 1.0 / t_ref
-    parity_err, parity_err_x64 = measure_parity(plan, rhos_zvode)
+    (parity_err, parity_err_x64, parity_err_f64dev,
+     t_f64dev) = measure_parity(plan, rhos_zvode)
 
     # useful-math FLOP accounting per sim (unpadded superoperator algebra;
     # a complex matmul = 8 M K N real FLOPs): the matvec scan does one
@@ -333,6 +379,8 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
         "mean_fidelity": round(mean_f, 6),
         "parity_err_c64_vs_zvode": parity_err,
         "parity_err_x64_vs_zvode": parity_err_x64,
+        "parity_err_f64_device_vs_zvode": parity_err_f64dev,
+        "f64_device_sims_per_sec": round(1.0 / t_f64dev, 2),
         "achieved_useful_gflops": round(achieved_gflops, 1),
         "engine": "phase-frame: one expm + shared-weight matvec scan",
     }

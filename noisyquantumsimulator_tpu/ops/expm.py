@@ -192,6 +192,37 @@ def expm(A: jnp.ndarray, max_squarings: int = 12,
     return _square(R, s, max_squarings)
 
 
+@partial(jax.jit, static_argnames=("max_squarings",))
+def expm_planes(Ar: jnp.ndarray, Ai: jnp.ndarray,
+                max_squarings: int = 12):
+    """exp(Ar + i Ai) on float PLANES — the complex dtype never exists on
+    device. Returns (Rr, Ri).
+
+    This is the on-device f64 verification path: TPU rejects C128
+    outright but emulates F64 (measured matmul accuracy ~7e-14), so the
+    1e-8 mesolve-parity target (reference: rydberg_gates/simulation.py:687
+    tolerances) can be met on the chip itself by running the same
+    Taylor-16 scaling-and-squaring kernel on two f64 planes. Works for
+    f32 planes too (then it is exactly the taylor16_3m path of expm).
+
+    For f64 planes the scaling threshold tightens to theta = 1.0
+    (truncation e/17! ~ 7.6e-15, vs 4e-10 at the f32 default 1.8) at the
+    cost of typically one extra squaring — callers passing a
+    plan_squaring_bound computed for theta = 1.8 should add 1."""
+    theta = _THETA16 if Ar.dtype == jnp.float32 else 1.0
+    absA = jnp.sqrt(Ar * Ar + Ai * Ai)
+    norm1 = jnp.max(jnp.sum(absA, axis=-2), axis=-1)
+    s_float = jnp.ceil(jnp.log2(jnp.maximum(norm1 / theta, 1.0)))
+    s = jnp.clip(s_float, 0, max_squarings).astype(jnp.int32)
+    scale = jnp.exp2(-s.astype(Ar.dtype))
+    As_r = Ar * scale[..., None, None]
+    As_i = Ai * scale[..., None, None]
+    D = Ar.shape[-1]
+    Ir = jnp.broadcast_to(jnp.eye(D, dtype=Ar.dtype), As_r.shape)
+    Rr, Ri = _taylor16_3m(As_r, As_i, Ir)
+    return _square_3m(Rr, Ri, s, max_squarings)
+
+
 def expm_apply(A: jnp.ndarray, X: jnp.ndarray, max_squarings: int = 12) -> jnp.ndarray:
     """exp(A) @ X without materializing exp(A) separately (same cost here;
     provided for API symmetry with sparse/Krylov backends added later)."""
@@ -237,4 +268,4 @@ def chained_product(U: jnp.ndarray) -> jnp.ndarray:
     return U[0]
 
 
-__all__ = ["expm", "expm_apply", "chained_product"]
+__all__ = ["expm", "expm_apply", "expm_planes", "chained_product"]

@@ -247,6 +247,51 @@ def evolve_rhos_phased_many(U_base, g, phases_bn, rho0s):
     return v.reshape(B, S, D, D)
 
 
+@jax.jit
+def evolve_rhos_phased_planes(Ubr, Ubi, g, phases, rho0s_r, rho0s_i):
+    """evolve_rhos_phased on float PLANES (re/im as separate real arrays).
+
+    The on-device f64 verification tier: TPU has no C128 but emulates F64,
+    so running the same phase-frame scan on two f64 planes reproduces the
+    zvode oracle (reference tolerances, simulation.py:687) to <1e-8 state
+    fidelity ON THE CHIP — the complex dtype never exists on device.
+    Matvecs use the 4-multiplication form (not Karatsuba) for the tightest
+    rounding. Also valid for f32 planes (then it matches evolve_rhos_phased).
+
+    Ubr/Ubi: (D^2, D^2) planes of U_base; rho0s_r/i: (B, D, D) planes.
+    Returns (out_r, out_i), each (B, D, D).
+    """
+    B, D, _ = rho0s_r.shape
+    rdt = Ubr.dtype
+    P = jax.lax.Precision.HIGHEST
+    g = g.astype(rdt)
+    ph = phases.astype(rdt)
+    dphi = jnp.concatenate([jnp.zeros((1,), rdt), ph[:-1] - ph[1:]])
+
+    def rot(vr, vi, ang):
+        c = jnp.cos(ang * g)[None, :]
+        s = jnp.sin(ang * g)[None, :]
+        return vr * c - vi * s, vr * s + vi * c
+
+    vr = rho0s_r.reshape(B, D * D).astype(rdt)
+    vi = rho0s_i.reshape(B, D * D).astype(rdt)
+    vr, vi = rot(vr, vi, -ph[0])
+    UbrT, UbiT = Ubr.T, Ubi.T
+
+    def body(carry, dphi_k):
+        vr, vi = carry
+        vr, vi = rot(vr, vi, dphi_k)
+        wr = (jnp.matmul(vr, UbrT, precision=P)
+              - jnp.matmul(vi, UbiT, precision=P))
+        wi = (jnp.matmul(vr, UbiT, precision=P)
+              + jnp.matmul(vi, UbrT, precision=P))
+        return (wr, wi), None
+
+    (vr, vi), _ = jax.lax.scan(body, (vr, vi), dphi)
+    vr, vi = rot(vr, vi, ph[-1])
+    return vr.reshape(B, D, D), vi.reshape(B, D, D)
+
+
 @partial(jax.jit, static_argnames=())
 def evolve_rhos_trajectory(L0, Cp, Cm, schedule: Schedule, rho0s, Cd=None):
     """Like evolve_rhos but returns all intermediate states, (n+1, B, D, D).

@@ -360,6 +360,45 @@ class TestPhaseFrameFastPath:
                 one = evolve_rhos_phased(Ub, g, s * phases, rho0s)
                 assert float(jnp.max(jnp.abs(many[i] - one))) < 1e-12
 
+    def test_planes_f64_matches_complex(self):
+        """The float-plane path (the on-device f64 tier: TPU has no C128
+        but emulates F64) must reproduce the complex x64 path to ~1e-12
+        and therefore inherit its <1e-8 zvode parity."""
+        import jax
+        from noisyquantumsimulator_tpu.core.configs import (
+            SmoothJPSimulationInputs)
+        from noisyquantumsimulator_tpu.gate.simulate import (
+            plan_cz_gate, plan_phase_frame, plan_squaring_bound)
+        from noisyquantumsimulator_tpu.ops.expm import expm_planes
+        from noisyquantumsimulator_tpu.solver.propagator import (
+            evolve_rhos_phased, evolve_rhos_phased_planes,
+            uniform_base_propagator)
+        with jax.enable_x64(True):
+            plan = plan_cz_gate(SmoothJPSimulationInputs(),
+                                n_steps_smooth=96)
+            g = plan_phase_frame(plan)
+            ms = plan_squaring_bound(plan)
+            amps = np.asarray(plan.schedule.amps)
+            dts = np.asarray(plan.schedule.dts)
+            phases = np.asarray(plan.schedule.phases)
+            A = (plan.L0 + float(amps[0]) * (plan.Cp + plan.Cm)) \
+                * float(dts[0])
+            Ubr, Ubi = expm_planes(jnp.asarray(A.real), jnp.asarray(A.imag),
+                                   max_squarings=ms + 1)
+            Ub_ref = uniform_base_propagator(
+                jnp.asarray(plan.L0), jnp.asarray(plan.Cp),
+                jnp.asarray(plan.Cm), float(amps[0]), float(dts[0]),
+                max_squarings=ms)
+            assert float(jnp.max(jnp.abs(
+                (Ubr + 1j * Ubi) - Ub_ref))) < 1e-12
+            outr, outi = evolve_rhos_phased_planes(
+                Ubr, Ubi, jnp.asarray(g), jnp.asarray(phases),
+                jnp.asarray(plan.rho0s.real), jnp.asarray(plan.rho0s.imag))
+            ref = evolve_rhos_phased(Ub_ref, jnp.asarray(g),
+                                     jnp.asarray(phases),
+                                     jnp.asarray(plan.rho0s))
+            assert float(jnp.max(jnp.abs((outr + 1j * outi) - ref))) < 1e-12
+
     def test_dim4_generator(self):
         from noisyquantumsimulator_tpu.core.configs import (
             SmoothJPSimulationInputs)
