@@ -103,24 +103,51 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
 
 def run_baseline_zvode(plan, n_states: int = 4):
     """(seconds, final rhos (n_states, D, D)) for the reference-equivalent
-    gate sim via the CPU zvode oracle at reference tolerances. Integrates
-    the plan's OWN per-segment Liouvillians (dimension-agnostic: works for
-    the 3-level and the mJ-resolved 4-level models alike)."""
-    from noisyquantumsimulator_tpu.solver.reference import (
-        mesolve_zvode_liouvillian)
+    gate sim via the CPU zvode oracle at reference tolerances.
 
+    Deliberately does NOT integrate the plan's own L0/Cp/Cm: the per-
+    segment Hamiltonians and collapse operators are rebuilt here from the
+    plan's scalar metadata (rates, detunings, polarization), so the parity
+    numbers also check the planner's Liouvillian assembly, not just the
+    propagator. Dimension-agnostic (3-level and mJ-resolved 4-level)."""
+    from noisyquantumsimulator_tpu.solver.reference import mesolve_zvode
+    from noisyquantumsimulator_tpu.ops.lindblad import (
+        build_all_noise_operators, static_hamiltonian)
+    from noisyquantumsimulator_tpu.ops.hamiltonians import drive_operator
+    from noisyquantumsimulator_tpu.ops.hilbert import HS3, HS4
+
+    hs = HS3 if plan.hilbert_space_dim == 3 else HS4
+    pol = plan.pulse_info.get("polarization", "sigma+")
+    zs = plan.pulse_info.get("zeeman_splitting_r", 0.0)
+    S = drive_operator(hs, polarization=pol)
     amps = np.asarray(plan.schedule.amps)
     phases = np.asarray(plan.schedule.phases)
     dts = np.asarray(plan.schedule.dts)
-    Lsegs = [plan.L0 + a * np.exp(1j * p) * plan.Cp
-             + a * np.exp(-1j * p) * plan.Cm
+    H_static = static_hamiltonian(hs, plan.Delta, plan.V, plan.delta_zeeman,
+                                  plan.delta_stark, plan.trap_laser_on,
+                                  zeeman_splitting=zs)
+    Hsegs = [H_static + 0.5 * plan.Omega * a
+             * (np.exp(1j * p) * S + np.exp(-1j * p) * S.conj().T)
              for a, p in zip(amps, phases)]
+    nb = plan.noise_breakdown
+    c_ops, _ = build_all_noise_operators(
+        hs=hs, gamma_r=nb.get("gamma_r", 0.0),
+        gamma_bbr=nb.get("gamma_bbr", 0.0),
+        gamma_phi_laser=nb.get("gamma_phi_laser", 0.0),
+        gamma_phi_thermal=nb.get("gamma_phi_thermal", 0.0),
+        gamma_phi_zeeman=nb.get("gamma_phi_zeeman", 0.0),
+        gamma_loss_antitrap=nb.get("gamma_loss_antitrap", 0.0),
+        gamma_loss_background=nb.get("gamma_loss_background", 0.0),
+        gamma_scatter_intermediate=nb.get("gamma_scatter_intermediate", 0.0),
+        gamma_leakage=nb.get("gamma_leakage", 0.0),
+        branching_1=nb.get("branching_1", 0.5),
+        mJ_leakage_rate=nb.get("mJ_leakage_rate", 0.0))
 
     rhos = []
     t0 = time.perf_counter()
     for i in range(n_states):
-        rhos.append(mesolve_zvode_liouvillian(Lsegs, dts, plan.rho0s[i],
-                                              atol=1e-10, rtol=1e-8))
+        rhos.append(mesolve_zvode(Hsegs, dts, plan.rho0s[i], c_ops,
+                                  atol=1e-10, rtol=1e-8))
     return time.perf_counter() - t0, np.stack(rhos)
 
 
@@ -164,8 +191,9 @@ def _phase_frame_numpy_x64(plan):
 def measure_parity_f64_device(plan):
     """On-device f64 tier: the same phase-frame algorithm on two float64
     PLANES (TPU rejects complex128 but emulates float64), meeting the
-    1e-8 mesolve-parity target on the chip itself. Returns worst-case
-    1 - F vs the zvode oracle and the per-4-state-sim wall time."""
+    1e-8 mesolve-parity target on the chip itself. Returns the final
+    (4, D, D) complex states and the per-4-state-sim wall time; the
+    caller (measure_parity) computes 1 - F vs the zvode oracle."""
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.gate.simulate import (plan_phase_frame,
@@ -342,7 +370,7 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
                 batch_curve.append({"batch": b,
                                     "sims_per_sec": round(sims_per_sec, 2)})
                 continue
-            s2, sc2, _ = build_workload(b, n_steps)
+            s2, sc2, _ = build_workload(b, n_steps, dim=dim)
             v, _ = _sims_per_sec(s2, sc2, b)
             batch_curve.append({"batch": b, "sims_per_sec": round(v, 2)})
 

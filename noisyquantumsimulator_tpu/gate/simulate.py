@@ -484,7 +484,12 @@ def plan_cz_gate(
     xi = complex(1.0)
     pulse_info: Dict = {"shape": pulse_shape, "delta_zeeman": delta_zeeman,
                         "delta_stark": delta_stark,
-                        "trap_laser_on": trap_laser_on}
+                        "trap_laser_on": trap_laser_on,
+                        # oracle-reconstruction metadata: lets independent
+                        # verifiers (bench.py run_baseline_zvode) rebuild
+                        # H + c_ops without touching the plan's L0/Cp/Cm
+                        "polarization": pol,
+                        "zeeman_splitting_r": zeeman_splitting_r}
 
     if protocol == "levine_pichler":
         xi = complex(proto.compute_phase_shift_xi(Delta_gate, Omega,

@@ -304,7 +304,14 @@ class TieredMatcherTPU:
     def __init__(self, n_detectors: int, edges: np.ndarray, probs: np.ndarray,
                  obs: np.ndarray, k_light: int = 6, k_heavy: int = 12,
                  chunk: int = 8192, heavy_capacity: int | None = None):
-        C = heavy_capacity or max(chunk // 8, 64)
+        if heavy_capacity is None:
+            C = min(chunk, max(chunk // 8, 64))
+        else:
+            C = heavy_capacity
+        if not 1 <= C <= chunk:
+            raise ValueError(f"heavy_capacity must be in [1, chunk={chunk}]"
+                             f"; got {C} (top_k cannot select more rows "
+                             "than a chunk holds)")
         self.light = ExactMatcherTPU(n_detectors, edges, probs, obs,
                                      max_defects=k_light, chunk=chunk)
         self.heavy = ExactMatcherTPU(n_detectors, edges, probs, obs,
@@ -316,9 +323,12 @@ class TieredMatcherTPU:
         light_fn, heavy_fn = self.light._fn, self.heavy._fn
 
         def decode_chunk(dets):
+            # k is resolved per traced shape so decode_device accepts
+            # batches smaller than heavy_capacity (e.g. inside other jits)
+            k = min(C, dets.shape[0])
             nd = jnp.sum(dets.astype(jnp.int32), axis=1)
             p_light = light_fn(dets)
-            _, hidx = jax.lax.top_k(nd, C)
+            _, hidx = jax.lax.top_k(nd, k)
             p_heavy = heavy_fn(jnp.take(dets, hidx, axis=0))
             is_heavy = jnp.take(nd, hidx, axis=0) > k_light
             upd = jnp.where(is_heavy, p_heavy,
@@ -342,14 +352,19 @@ class TieredMatcherTPU:
         """Shots decoded with a truncated defect set: more than K_heavy
         defects, or heavy shots past the per-chunk compaction capacity."""
         counts = np.asarray(detectors).sum(axis=1)
-        over = np.mean(counts > self.max_defects)
-        n_heavy_over = 0
         S = counts.shape[0]
+        n_trunc = int((counts > self.max_defects).sum())
         for s0 in range(0, S, self.chunk):
-            n_heavy = int((counts[s0:s0 + self.chunk]
-                           > self.k_light).sum())
-            n_heavy_over += max(0, n_heavy - self.heavy_capacity)
-        return float(over + n_heavy_over / max(S, 1))
+            c = counts[s0:s0 + self.chunk]
+            # mirrors top_k selection: highest counts first, ties by
+            # lower index (np stable sort of -c matches lax.top_k)
+            order = np.argsort(-c, kind="stable")
+            unsel = order[self.heavy_capacity:]
+            # unselected heavy shots fall back to the K_light decode
+            # (those > max_defects are already counted above)
+            n_trunc += int(((c[unsel] > self.k_light)
+                            & (c[unsel] <= self.max_defects)).sum())
+        return float(n_trunc / max(S, 1))
 
 
 def exact_matcher_for_circuit(circuit, max_defects: int = 12,

@@ -230,8 +230,11 @@ def build_fast_sampler(circuit: Circuit, shots: int):
         kd = key
         if jnp.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):
             kd = jax.random.key_data(key)
-        return jax.random.wrap_key_data(
-            jnp.concatenate([kd.reshape(-1), kd.reshape(-1)]), impl="rbg")
+        # normalize ANY key-data width to the 4 uint32 words rbg wants
+        # (threefry keys carry 2 words; a key already on rbg carries 4)
+        kd = kd.reshape(-1).astype(jnp.uint32)
+        reps = -(-4 // kd.shape[0])
+        return jax.random.wrap_key_data(jnp.tile(kd, reps)[:4], impl="rbg")
 
     def sample(key):
         kb, k1, kd2, k2, ke, kf = jax.random.split(_fast_key(key), 6)

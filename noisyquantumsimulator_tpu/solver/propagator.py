@@ -387,4 +387,5 @@ __all__ = [
     "bangbang_schedule", "shaped_lp_schedule", "concat_schedules",
     "uniform_base_propagator", "total_propagator_phased",
     "evolve_rhos_phased", "evolve_rhos_phased_many",
+    "evolve_rhos_phased_planes",
 ]

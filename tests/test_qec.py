@@ -619,8 +619,6 @@ class TestTieredMatcher:
         import jax
         from noisyquantumsimulator_tpu.qec.surface_code import (
             memory_z_circuit)
-        from noisyquantumsimulator_tpu.qec.exact_matcher import (
-            exact_matcher_for_circuit, tiered_matcher_for_circuit)
         from noisyquantumsimulator_tpu.qec.fast_sampler import (
             build_fast_sampler)
         from noisyquantumsimulator_tpu.qec.dem import build_dem, dem_to_edges
@@ -649,6 +647,53 @@ class TestTieredMatcher:
         assert (ti.decode_batch(dets)[within]
                 == ex.decode_batch(dets)[within]).all()
         assert ti.overflow_fraction(dets) == ex.overflow_fraction(dets)
+
+    def test_factory_small_chunks_and_device_batches(self):
+        """tiered_matcher_for_circuit must work at awkward sizes: chunks
+        below the old 64-slot capacity floor, decode_device batches
+        smaller than heavy_capacity, and invalid capacities must raise."""
+        import jax
+        import jax.numpy as jnp
+        import pytest
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit, tiered_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        c = memory_z_circuit(3, rounds=3, p=6e-3)
+        out = build_fast_sampler(c, 256)(jax.random.PRNGKey(5))
+        dets = np.asarray(out["detectors"], np.uint8)
+        # chunk=32 < the old default capacity floor of 64 (used to crash)
+        ti = tiered_matcher_for_circuit(c, k_light=4, chunk=32)
+        ex = exact_matcher_for_circuit(c, chunk=32)
+        within = dets.sum(1) <= 12
+        assert (ti.decode_batch(dets)[within]
+                == ex.decode_batch(dets)[within]).all()
+        # decode_device on a batch smaller than heavy_capacity
+        small = jnp.asarray(dets[:8])
+        assert np.array_equal(np.asarray(ti.decode_device(small)),
+                              ti.decode_batch(dets[:8]).astype(np.int32))
+        with pytest.raises(ValueError):
+            tiered_matcher_for_circuit(c, chunk=32, heavy_capacity=64)
+        with pytest.raises(ValueError):
+            tiered_matcher_for_circuit(c, chunk=32, heavy_capacity=0)
+
+    def test_overflow_fraction_no_double_count(self):
+        """Shots that both exceed k_heavy and overflow heavy_capacity
+        must be counted once; the fraction can never exceed 1."""
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            TieredMatcherTPU)
+        n_det = 20
+        edges = np.array([[i, i + 1] for i in range(n_det - 1)]
+                         + [[i, -1] for i in range(n_det)])
+        probs = np.full(len(edges), 1e-3)
+        obs = np.zeros(len(edges), np.int64)
+        ti = TieredMatcherTPU(n_det, edges, probs, obs, k_light=2,
+                              k_heavy=4, chunk=8, heavy_capacity=1)
+        dets = np.ones((8, n_det), np.uint8)  # every shot has 20 defects
+        f = ti.overflow_fraction(dets)
+        assert f == 1.0  # all truncated (> k_heavy), none double-counted
 
 
 class TestHybridMatcher:
