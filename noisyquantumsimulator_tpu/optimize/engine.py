@@ -213,12 +213,46 @@ def smooth_jp_uniform_from_params(params, problem: FixedProblem,
     return phases, dt, Delta
 
 
+def free_phases_uniform_from_params(params, problem: FixedProblem,
+                                    omega_tau: float = 10.09,
+                                    delta_over_omega: float = 0.0205):
+    """(phases, dt, det) with EVERY per-segment phase a free parameter —
+    GRAPE-style optimal control (piecewise-constant phase modulation at
+    fixed Omega, gate time and detuning).
+
+    params = the (n_steps,) phase vector itself. No protocol ansatz: the
+    gradient of the cost w.r.t. all n_steps phases flows through the
+    phase-frame propagator in one backward pass, so a 300-dimensional
+    pulse shape optimizes as cheaply as the 5-parameter smooth-JP fit.
+    The reference cannot do this at all (scipy DE over its per-step
+    QuTiP loop would need ~10^5 full simulations per generation)."""
+    Omega = problem.Omega
+    sign = -1.0 if problem.Delta_e > 0 else 1.0
+    Delta = sign * jnp.abs(delta_over_omega) * Omega
+    tau = omega_tau / Omega
+    dt = tau / params.shape[0]
+    return params, dt, Delta
+
+
+def free_phases_schedule_from_params(params, problem: FixedProblem,
+                                     omega_tau: float = 10.09,
+                                     delta_over_omega: float = 0.0205):
+    phases, dt, Delta = free_phases_uniform_from_params(
+        params, problem, omega_tau=omega_tau,
+        delta_over_omega=delta_over_omega)
+    n = phases.shape[0]
+    return Schedule(jnp.ones((n,)), phases, jnp.full((n,), 1.0) * dt,
+                    jnp.full((n,), 1.0) * Delta)
+
+
 SCHEDULE_BUILDERS: Dict[str, Callable] = {
     "levine_pichler": lp_schedule_from_params,
     "lp": lp_schedule_from_params,
     "smooth_jp": smooth_jp_schedule_from_params,
     "jandura_pupillo": bangbang_schedule_from_params,
     "jp_bangbang": bangbang_schedule_from_params,
+    "free_phases": free_phases_schedule_from_params,
+    "grape": free_phases_schedule_from_params,
 }
 
 # protocols whose schedules are uniform in (amp, dt, det): eligible for the
@@ -227,6 +261,8 @@ UNIFORM_BUILDERS: Dict[str, Callable] = {
     "levine_pichler": lp_uniform_from_params,
     "lp": lp_uniform_from_params,
     "smooth_jp": smooth_jp_uniform_from_params,
+    "free_phases": free_phases_uniform_from_params,
+    "grape": free_phases_uniform_from_params,
 }
 
 
@@ -413,4 +449,5 @@ __all__ = ["FixedProblem", "build_fixed_problem", "make_objective",
            "make_value_and_grad", "make_population_objective",
            "make_spacing_population_objective",
            "lp_schedule_from_params", "smooth_jp_schedule_from_params",
+    "free_phases_schedule_from_params", "free_phases_uniform_from_params",
            "bangbang_schedule_from_params"]

@@ -93,6 +93,35 @@ class TestObjectives:
         cost, m = obj(jnp.asarray(x0))
         assert np.isfinite(float(cost))
 
+    def test_grape_free_phases_descends(self, problem):
+        """GRAPE mode: every segment phase is a parameter; adam through
+        the differentiable solver must reduce the cost from the smooth-JP
+        starting pulse and keep physical fidelity."""
+        import optax
+        from noisyquantumsimulator_tpu.optimize.engine import (
+            make_value_and_grad, smooth_jp_uniform_from_params)
+        n = 64
+        x0 = jnp.asarray([10.09, 0.311 * np.pi, 1.242, 4.696, 0.0205])
+        phases0, _, _ = smooth_jp_uniform_from_params(x0, problem,
+                                                      n_steps=n)
+        vg = make_value_and_grad(problem, "grape", omega_tau=10.09,
+                                 delta_over_omega=0.0205)
+        obj = make_objective(problem, "grape", omega_tau=10.09,
+                             delta_over_omega=0.0205)
+        c_start, m_start = obj(phases0)
+        opt = optax.adam(2e-3)
+        ph = jnp.asarray(phases0)
+        st = opt.init(ph)
+        for _ in range(25):
+            cost, grad = vg(ph)
+            assert np.all(np.isfinite(np.asarray(grad)))
+            upd, st = opt.update(grad, st)
+            ph = optax.apply_updates(ph, upd)
+        c_end, m_end = obj(ph)
+        assert float(c_end) < float(c_start)
+        assert float(m_end["avg_fidelity"]) >= \
+            float(m_start["avg_fidelity"]) - 1e-3
+
 
 class TestDE:
     def test_minimizes_quadratic(self):
