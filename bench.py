@@ -292,26 +292,50 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         tiered_matcher_for_circuit)
 
     circuit = memory_z_circuit(d, rounds, p=p)
-    sampler = build_fast_sampler(circuit, shots)
+    # sample in blocks: the RNG scratch is (block, n_fault_channels) u32,
+    # which OOMs HBM at d >= 9 with 2^20-shot calls — block size caps the
+    # scratch while the loop reaches any total shot count. d <= 7 keeps
+    # the full 2^20 block (fits, and throughput peaks there: 9.09M vs
+    # 4.7M shots/s measured at 2^18 blocks on v5e)
+    block = min(shots, 1 << 20 if d <= 7 else 1 << 18)
+    n_blocks = max(1, shots // block)
+    sampler = build_fast_sampler(circuit, block)
 
     out = sampler(jax.random.PRNGKey(0))
-    n_fire = int(jnp.sum(out["detectors"].astype(jnp.int32)))  # fence
+    int(jnp.sum(out["detectors"].astype(jnp.int32)))  # warm-up fence
 
-    reps = 5
+    reps = 5 * n_blocks
     t0 = time.perf_counter()
     tot = 0
     for r in range(reps):
         out = sampler(jax.random.PRNGKey(r + 1))
         tot += int(jnp.sum(out["detectors"].astype(jnp.int32)))  # fence
     dt = time.perf_counter() - t0
+    shots_done = block * reps
 
     # ---- end-to-end: sample + exact DP matching decode, one jit ----
     # tiered: K=6 DP on every shot, K=12 DP on the compacted heavy tail —
-    # exact within the K=12 budget (bit-identical to the pure K=12 DP)
+    # exact within the K=12 budget (bit-identical to the pure K=12 DP).
+    # chunk/capacity measured on v5e: 16384/1024 -> 936k shots/s at d=7
+    # vs 600k at 4096/512 (the DP is latency-bound in its ~7 sequential
+    # levels of small matmuls; bigger chunks amortize the fixed op cost).
+    # d >= 9: the mean defect count blows any per-shot K budget, so the
+    # hybrid matcher routes overflow shots to TPU greedy-32 per shot
+    # (examples/qec_scale_study.py has the regime map + measurements)
     K = 12
-    chunk = 4096
-    dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
-                                     chunk=chunk)
+    chunk = min(16384, decode_shots)
+    if d <= 7:
+        dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
+                                         chunk=chunk,
+                                         heavy_capacity=max(chunk // 16, 64))
+        decoder_name = (f"on-device exact MWPM (tiered bitmask DP, "
+                        f"K=6 all shots / K={K} heavy tail)")
+    else:
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit)
+        dec = exact_matcher_for_circuit(circuit, hybrid=True, chunk=chunk)
+        decoder_name = ("on-device hybrid MWPM (exact bitmask DP K=12 / "
+                        "greedy-32 overflow, routed per shot)")
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):
@@ -340,16 +364,16 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
 
     print(json.dumps({
         "metric": f"surface_code_d{d}_sample_shots_per_sec",
-        "value": round(shots * reps / dt, 0),
+        "value": round(shots_done / dt, 0),
         "unit": "shots/s",
         "vs_baseline": None,
-        "d": d, "rounds": rounds, "p": p, "shots_per_call": shots,
+        "d": d, "rounds": rounds, "p": p, "shots_per_call": block,
         "n_detectors": circuit.n_detectors,
-        "detector_fraction": round(n_fire / (shots * circuit.n_detectors), 5),
+        "detector_fraction": round(tot / (shots_done * circuit.n_detectors),
+                                   5),
         "backend": jax.devices()[0].platform,
         "e2e_sample_decode_shots_per_sec": round(n_dec / dt_d, 0),
-        "e2e_decoder": ("on-device exact MWPM (tiered bitmask DP, "
-                        f"K=6 all shots / K={K} heavy tail)"),
+        "e2e_decoder": decoder_name,
         "e2e_p_logical_shot": errs / n_dec,
         "e2e_overflow_fraction": ovf / n_dec,
     }))

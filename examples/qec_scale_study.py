@@ -1,0 +1,136 @@
+"""Distance-scaling study: sample + exact-decode throughput vs d on one chip.
+
+For d in {3, 5, 7, 9, 11} (rounds = d) surface-code memory at p = 1e-3:
+  - raw detector-sampling shots/s (blocked one-matmul MXU sampler),
+  - end-to-end sample + on-device MWPM decode + p_L, one jitted call,
+  - logical error per shot and the decoder overflow fraction.
+
+This is the production-scaling evidence for the Stim/PyMatching
+replacement path (SURVEY 2c). The decoder is graded by regime: the
+tiered EXACT matcher (K=12 per-shot defect budget) through d = 7, the
+hybrid exact/greedy matcher beyond — the expected defect count
+n_det * det_frac grows with d^2 * rounds (4.8 at d=9, 8.6 at d=11 at
+p=1e-3), so any fixed per-shot DP budget overflows at scale and the
+overflow must be routed to a budget-free path, not truncated (a first
+run with the K=12 tiered matcher at d=11 measured p_L = 0.18 from 22%
+truncated shots — the failure mode this study exists to quantify).
+
+Writes examples/qec_scale.json. Runs on whatever backend JAX selects
+(v5e numbers in docs/TPU_ENGINES.md); CPU works for a smoke run with
+--small (d <= 5, fewer shots).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_point(d: int, rounds: int, p: float, sample_shots: int,
+              decode_shots: int):
+    import jax
+    import jax.numpy as jnp
+    from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+    from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
+    from noisyquantumsimulator_tpu.qec.exact_matcher import (
+        exact_matcher_for_circuit, tiered_matcher_for_circuit)
+
+    circuit = memory_z_circuit(d, rounds, p=p)
+    block = min(sample_shots, 1 << 20 if d <= 7 else 1 << 18)
+    sampler = build_fast_sampler(circuit, block)
+    out = sampler(jax.random.PRNGKey(0))
+    int(jnp.sum(out["detectors"].astype(jnp.int32)))  # warm-up fence
+    reps = max(1, sample_shots // block) * 3
+    t0 = time.perf_counter()
+    tot = 0
+    for r in range(reps):
+        out = sampler(jax.random.PRNGKey(r + 1))
+        tot += int(jnp.sum(out["detectors"].astype(jnp.int32)))
+    dt_s = time.perf_counter() - t0
+    shots_done = block * reps
+
+    # decoder regime map (expected defect count = n_det * det_frac grows
+    # with d^2 * rounds): d <= 7 stays in the tiered EXACT matcher's K=12
+    # per-shot budget at p ~ 1e-3 (overflow ~ 2e-4 at d=7); d >= 9 the
+    # mean defect count (4.8 at d=9, 8.6 at d=11) blows the budget, so
+    # the hybrid matcher routes overflow shots to the TPU greedy-32 path
+    # per shot (measured ~1.25x MWPM p_L near threshold) instead of
+    # silently truncating defects
+    K = 12
+    chunk = min(16384, decode_shots)
+    if d <= 7:
+        dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
+                                         chunk=chunk,
+                                         heavy_capacity=max(chunk // 16, 64))
+        decoder_name = "tiered exact (K=6/K=12)"
+    else:
+        dec = exact_matcher_for_circuit(circuit, hybrid=True, chunk=chunk)
+        decoder_name = "hybrid (exact K=12 / greedy-32 overflow)"
+    sampler_dec = build_fast_sampler(circuit, decode_shots)
+
+    def e2e(key):
+        o = sampler_dec(key)
+        dets = o["detectors"].astype(jnp.uint8)
+        S = dets.shape[0]
+        det_chunks = dets.reshape(S // chunk, chunk, -1)
+        preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
+        obs = o["observables"][:, 0].astype(jnp.int32)
+        n_err = jnp.sum((preds ^ obs) & 1)
+        n_ovf = jnp.sum(jnp.sum(dets.astype(jnp.int32), axis=1) > K)
+        return n_err, n_ovf
+
+    e2e_j = jax.jit(e2e)
+    int(e2e_j(jax.random.PRNGKey(100))[0])  # warm-up fence
+    reps_d = 3
+    t0 = time.perf_counter()
+    errs = ovf = 0
+    for r in range(reps_d):
+        n_err, n_ovf = e2e_j(jax.random.PRNGKey(200 + r))
+        errs += int(n_err)
+        ovf += int(n_ovf)
+    dt_d = time.perf_counter() - t0
+    n_dec = decode_shots * reps_d
+    return {
+        "d": d, "rounds": rounds, "p": p,
+        "n_detectors": circuit.n_detectors,
+        "detector_fraction": tot / (shots_done * circuit.n_detectors),
+        "sample_shots_per_sec": shots_done / dt_s,
+        "e2e_sample_decode_shots_per_sec": n_dec / dt_d,
+        "e2e_p_logical_shot": errs / n_dec,
+        "e2e_overflow_fraction": ovf / n_dec,
+        "decoder": decoder_name,
+    }
+
+
+def main() -> None:
+    import jax
+    small = "--small" in sys.argv
+    ds = (3, 5) if small else (3, 5, 7, 9, 11)
+    sample_shots = (1 << 16) if small else (1 << 19)
+    decode_shots = (1 << 14) if small else (1 << 17)
+    p = 1e-3
+    rows = []
+    print(f"{'d':>3} {'n_det':>6} {'sample shots/s':>14} "
+          f"{'e2e shots/s':>12} {'p_L/shot':>10} {'overflow':>9}")
+    for d in ds:
+        r = run_point(d, d, p, sample_shots, decode_shots)
+        rows.append(r)
+        print(f"{d:>3} {r['n_detectors']:>6} "
+              f"{r['sample_shots_per_sec']:>14.0f} "
+              f"{r['e2e_sample_decode_shots_per_sec']:>12.0f} "
+              f"{r['e2e_p_logical_shot']:>10.2e} "
+              f"{r['e2e_overflow_fraction']:>9.2e}", flush=True)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "qec_scale.json")
+    with open(out, "w") as f:
+        json.dump({"backend": jax.devices()[0].platform,
+                   "device": str(jax.devices()[0]), "points": rows}, f,
+                  indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    main()

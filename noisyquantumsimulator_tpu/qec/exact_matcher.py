@@ -93,22 +93,24 @@ def _sel(x, M):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _dp_decode(dets, dist, parity, tables, K: int):
-    """dets (S, n_det) uint8 -> exact matching observable parity (S,)."""
+def _slot_tables(dets, dist, parity, K: int):
+    """Per-shot slot weight/parity tables for the bitmask DP.
+
+    Defect slots, lowest index first. The slot one-hot is built directly
+    from the cumsum RANK of each set bit (rank k -> slot k-1) — pure
+    elementwise compares on the VPU, no sort. (A profiler run attributed
+    3.1 ms of the 3.9 ms K=6 chunk decode to a per-row top_k here, but
+    the sort-free form measured neutral end-to-end — XLA overlaps the
+    sort with the DP; kept because it removes the serialization point
+    without costing anything.) Absent slots get the boundary column
+    (dist[B, B] = 0): free and parity-neutral. Shots with more than K
+    defects keep only the K lowest-index ones (the documented overflow
+    rule).
+
+    Returns (oh_det (S,K,n_det), Wm (S,K,K), Pm, Wb (S,K), Pb).
+    """
     S, n_det = dets.shape
     B = n_det  # boundary index in dist/parity
-    W = K - 1
-
-    # defect slots, lowest index first. The slot one-hot is built directly
-    # from the cumsum RANK of each set bit (rank k -> slot k-1) — pure
-    # elementwise compares on the VPU, no sort. (A profiler run attributed
-    # 3.1 ms of the 3.9 ms K=6 chunk decode to a per-row top_k here, but
-    # the sort-free form measured neutral end-to-end — XLA overlaps the
-    # sort with the DP; kept because it removes the serialization point
-    # without costing anything.) Absent slots get the boundary column
-    # (dist[B, B] = 0): free and parity-neutral. Shots with more than K
-    # defects keep only the K lowest-index ones (the documented overflow
-    # rule).
     bits = dets.astype(jnp.int32)
     rank = jnp.cumsum(bits, axis=1) * bits                 # (S, n_det)
     ks = jnp.arange(1, K + 1, dtype=jnp.int32)
@@ -130,6 +132,15 @@ def _dp_decode(dets, dist, parity, tables, K: int):
     Wb = _sel(oh.reshape(S * K, -1), dist[:, B][:, None]).reshape(S, K)
     Pb = _sel(oh.reshape(S * K, -1),
               parity[:, B].astype(dist.dtype)[:, None]).reshape(S, K)
+    return oh_det, Wm, Pm, Wb, Pb
+
+
+def _dp_decode(dets, dist, parity, tables, K: int):
+    """dets (S, n_det) uint8 -> exact matching observable parity (S,)."""
+    S, n_det = dets.shape
+    W = K - 1
+
+    _, Wm, Pm, Wb, Pb = _slot_tables(dets, dist, parity, K)
     Wm_flat = Wm.reshape(S, K * K)
     Pm_flat = Pm.reshape(S, K * K)
 
@@ -177,6 +188,122 @@ def _dp_decode(dets, dist, parity, tables, K: int):
     return dp_prev1[1][:, 0].astype(jnp.int32)
 
 
+def _mask_tables(K: int):
+    """Host lookup tables for the backtrace: masks grouped by popcount
+    (ascending within each level, matching _build_level_tables) and the
+    lowest-set-bit index of every K-bit mask."""
+    by_pop = [[] for _ in range(K + 1)]
+    for m in range(1 << K):
+        by_pop[bin(m).count("1")].append(m)
+    lowbit = np.zeros(1 << K, np.int32)
+    for m in range(1, 1 << K):
+        lowbit[m] = (m & -m).bit_length() - 1
+    return by_pop, lowbit
+
+
+def _dp_decode_trace(dets, dist, parity, tables, K: int):
+    """Like _dp_decode but also EXTRACTS the matching via DP backtrace.
+
+    Returns (pred (S,) int32 observable parity — bit-identical to
+    _dp_decode, verified by tests; match (S, K) int32: per defect slot
+    the matched slot index, K for a boundary match, -1 for unused slots;
+    det_idx (S, K) int32: the detector index behind each slot, n_det for
+    unused slots).
+
+    The forward pass is the same matmul-level DP; its per-level costs are
+    scattered into a flat (S, 2^K) subset-cost table, and a K-step
+    backtrace replays the forward tie-break rule (boundary on <=, first
+    minimizer in ascending-j order) with per-shot single-element gathers
+    — recomputing each candidate as flat[m'] + w gives the exact same
+    f32 sums the forward levels produced, so the traced matching is the
+    one whose parity the forward pass returned.
+
+    This is the correction EXTRACTION path (PyMatching's decode() returns
+    corrections too, reference architecture/qec/decoders.py:14-17): it
+    feeds windowed decoding and anything needing per-pair structure. Use
+    _dp_decode when only the logical parity is needed — it is cheaper.
+    """
+    S, n_det = dets.shape
+    big = jnp.asarray(np.float32(1e18), dist.dtype)
+    oh_det, Wm, Pm, Wb, Pb = _slot_tables(dets, dist, parity, K)
+
+    # ---- forward: same level loop, costs retained ----
+    lvl_costs = [jnp.zeros((S, 1), dist.dtype)]
+    dp_prev2 = None
+    dp_prev1 = lvl_costs[0]
+    for k in range(1, K + 1):
+        t = tables[k - 1]
+        L = t["size"]
+        W = K - 1
+        cost_b = _sel(dp_prev1, jnp.asarray(t["G_bnd"])) \
+            + _sel(Wb, jnp.asarray(t["S_bi"]))
+        if k >= 2:
+            cost_p = (_sel(dp_prev2, jnp.asarray(t["G_pair"]))
+                      + _sel(Wm.reshape(S, K * K), jnp.asarray(t["S_ij"]))
+                      ).reshape(S, L, W)
+            cost_p = jnp.where(jnp.asarray(t["pair_ok"])[None], cost_p, big)
+            dp_k = jnp.minimum(cost_b, jnp.min(cost_p, axis=-1))
+        else:
+            dp_k = cost_b
+        lvl_costs.append(dp_k)
+        dp_prev2, dp_prev1 = dp_prev1, dp_k
+
+    by_pop, lowbit_np = _mask_tables(K)
+    flat = jnp.full((S, 1 << K), big)
+    for k in range(K + 1):
+        flat = flat.at[:, jnp.asarray(np.asarray(by_pop[k], np.int32))
+                       ].set(lvl_costs[k])
+    lowbit = jnp.asarray(lowbit_np)
+
+    # ---- backtrace: K steps of per-shot scalar gathers ----
+    nd = jnp.clip(jnp.sum(dets.astype(jnp.int32), axis=1), 0, K)
+    mask0 = jnp.left_shift(1, nd) - 1                      # (S,)
+    js = jnp.arange(K, dtype=jnp.int32)
+    match0 = jnp.full((S, K), -1, jnp.int32)
+    par0 = jnp.zeros((S,), jnp.int32)
+
+    def body(_, state):
+        mask, par, match = state
+        active = mask > 0
+        i = lowbit[mask]                                   # (S,)
+        m1 = mask ^ jnp.left_shift(1, i)
+        oh_i = js[None, :] == i[:, None]                   # (S, K)
+        cost_b = (jnp.take_along_axis(flat, m1[:, None], axis=1)[:, 0]
+                  + jnp.sum(jnp.where(oh_i, Wb, 0.0), axis=1))
+        mj = m1[:, None] ^ jnp.left_shift(1, js)[None, :]  # (S, K)
+        valid = (js[None, :] > i[:, None]) & \
+            ((jnp.right_shift(mask[:, None], js[None, :]) & 1) == 1)
+        Wi = jnp.sum(jnp.where(oh_i[:, :, None], Wm, 0.0), axis=1)  # (S, K)
+        cost_p = jnp.take_along_axis(flat, mj, axis=1) + Wi
+        cost_p = jnp.where(valid, cost_p, big)
+        cbest = jnp.min(cost_p, axis=1)
+        is_min = cost_p <= cbest[:, None]
+        first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
+        jstar = jnp.sum(jnp.where(first, js[None, :], 0), axis=1)
+        use_b = cost_b <= cbest
+        oh_j = js[None, :] == jstar[:, None]
+        Pi = jnp.sum(jnp.where(oh_i[:, :, None], Pm, 0.0), axis=1)
+        p_pair = jnp.sum(jnp.where(oh_j, Pi, 0.0), axis=1)
+        p_bnd = jnp.sum(jnp.where(oh_i, Pb, 0.0), axis=1)
+        dpar = jnp.where(use_b, p_bnd, p_pair)
+        par = par ^ (jnp.round(dpar).astype(jnp.int32) &
+                     jnp.where(active, 1, 0))
+        tgt_i = jnp.where(use_b, jnp.int32(K), jstar).astype(jnp.int32)
+        match = jnp.where(active[:, None] & oh_i, tgt_i[:, None], match)
+        match = jnp.where((active & ~use_b)[:, None] & oh_j,
+                          i[:, None], match)
+        newmask = jnp.where(use_b, m1,
+                            m1 ^ jnp.left_shift(1, jstar))
+        mask = jnp.where(active, newmask, mask)
+        return mask, par, match
+
+    mask, par, match = jax.lax.fori_loop(0, K, body, (mask0, par0, match0))
+    det_idx = jnp.round(
+        jnp.einsum("skn,n->sk", oh_det,
+                   jnp.arange(n_det, dtype=dist.dtype))
+        + (1.0 - jnp.sum(oh_det, axis=2)) * n_det).astype(jnp.int32)
+    return par, match, det_idx
+
 
 def _chunked_decode(fn, dets: np.ndarray, chunk: int) -> np.ndarray:
     """Run a jitted per-chunk decoder over all shots using ONE compiled
@@ -217,6 +344,9 @@ class ExactMatcherTPU:
         self._fn = jax.jit(partial(_dp_decode, dist=self._dist,
                                    parity=self._par, tables=tables,
                                    K=max_defects))
+        self._trace_fn = jax.jit(partial(_dp_decode_trace, dist=self._dist,
+                                         parity=self._par, tables=tables,
+                                         K=max_defects))
 
     def decode_batch(self, detectors) -> np.ndarray:
         """detectors (S, n_det) -> predicted logical flip (S,) int64.
@@ -231,6 +361,15 @@ class ExactMatcherTPU:
     def decode_device(self, dets: jnp.ndarray) -> jnp.ndarray:
         """Jit-composable decode: (S, n_det) on device -> (S,) int32."""
         return self._fn(dets)
+
+    def match_device(self, dets: jnp.ndarray):
+        """Jit-composable matching EXTRACTION: (S, n_det) on device ->
+        (pred (S,) int32, match (S, K) int32 slot pairing with K meaning
+        boundary and -1 unused, det_idx (S, K) int32 detector index per
+        slot, n_det for unused). pred is bit-identical to decode_device;
+        the matching is the one realizing it (windowed decoding and
+        correction output build on this)."""
+        return self._trace_fn(dets)
 
     def overflow_fraction(self, detectors) -> float:
         """Fraction of shots whose defect count exceeds max_defects (those

@@ -679,6 +679,56 @@ class TestTieredMatcher:
         with pytest.raises(ValueError):
             tiered_matcher_for_circuit(c, chunk=32, heavy_capacity=0)
 
+    def test_match_extraction_bit_identical_and_valid(self):
+        """The traceback matching must (a) reproduce decode_device's
+        parity bit-for-bit, (b) be a valid perfect matching on the defect
+        set, and (c) re-score to the same observable parity when its
+        pairs are looked up directly in the parity table."""
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        from noisyquantumsimulator_tpu.qec.dem import build_dem, dem_to_edges
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            ExactMatcherTPU)
+        c = memory_z_circuit(3, rounds=3, p=1.5e-2)
+        S = 512
+        out = build_fast_sampler(c, S)(jax.random.PRNGKey(8))
+        dets = np.asarray(out["detectors"], np.uint8)
+        edges, probs, obs = dem_to_edges(build_dem(c))
+        rng = np.random.default_rng(4)
+        probs = probs * np.exp(rng.normal(0, 0.11, probs.shape))
+        ex = ExactMatcherTPU(c.n_detectors, edges, probs, obs,
+                             max_defects=8, chunk=S)
+        K, n_det = ex.max_defects, c.n_detectors
+        pred0 = np.asarray(ex.decode_device(dets))
+        pred, match, det_idx = (np.asarray(a)
+                                for a in ex.match_device(dets))
+        assert (pred == pred0).all()
+        par_tbl = ex.graph.parity
+        nd = dets.sum(1).clip(0, K)
+        for s in range(S):
+            p = 0
+            seen = set()
+            for i in range(K):
+                m = match[s, i]
+                if i < nd[s]:
+                    assert m != -1
+                    di = det_idx[s, i]
+                    assert dets[s, di] == 1
+                    if m == K:
+                        p ^= int(par_tbl[di, n_det])
+                    else:
+                        assert match[s, m] == i      # symmetric
+                        if (min(i, m), max(i, m)) not in seen:
+                            seen.add((min(i, m), max(i, m)))
+                            p ^= int(par_tbl[di, det_idx[s, m]])
+                else:
+                    assert m == -1
+                    assert det_idx[s, i] == n_det
+            assert p == pred[s]
+
     def test_overflow_fraction_no_double_count(self):
         """Shots that both exceed k_heavy and overflow heavy_capacity
         must be counted once; the fraction can never exceed 1."""
