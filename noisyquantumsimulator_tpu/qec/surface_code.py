@@ -420,6 +420,18 @@ def teraquop_footprint(p_round: float, d: int, target: float = 1e-12,
     return int(np.ceil(d + 2 * k))
 
 
+def memory_z_detector_rounds(d: int, rounds: int,
+                             layout: Optional[SurfaceCodeLayout] = None
+                             ) -> np.ndarray:
+    """Round label of every memory_z_circuit detector (for windowed
+    decoding): detectors are emitted round-major, n_z per round, with the
+    final boundary block labeled `rounds`."""
+    lay = layout if layout is not None else build_layout(d)
+    n_z = len(lay.z_anc)
+    return np.repeat(np.arange(rounds + 1, dtype=np.int32), n_z)
+
+
 __all__ = ["SurfaceCodeLayout", "build_layout", "build_rect_layout",
            "memory_z_circuit", "memory_x_circuit", "code_metrics",
-           "logical_error_rate", "teraquop_footprint"]
+           "logical_error_rate", "teraquop_footprint",
+           "memory_z_detector_rounds"]

@@ -746,6 +746,81 @@ class TestTieredMatcher:
         assert f == 1.0  # all truncated (> k_heavy), none double-counted
 
 
+class TestWindowMatcher:
+    def _setup(self, d, rounds, p, S, seed):
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit, memory_z_detector_rounds)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        c = memory_z_circuit(d, rounds, p=p)
+        det_round = memory_z_detector_rounds(d, rounds)
+        assert det_round.shape[0] == c.n_detectors
+        out = build_fast_sampler(c, S)(jax.random.PRNGKey(seed))
+        dets = np.asarray(out["detectors"], np.uint8)
+        obs = np.asarray(out["observables"])[:, 0]
+        return c, det_round, dets, obs
+
+    def test_single_window_bit_identical_to_exact(self):
+        """A window covering every round commits everything in one DP —
+        must equal the plain exact matcher bit-for-bit."""
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.window_matcher import (
+            window_matcher_for_circuit)
+        c, det_round, dets, _ = self._setup(3, 4, 6e-3, 1024, 12)
+        wm = window_matcher_for_circuit(c, det_round, window_rounds=16,
+                                        commit_rounds=2, chunk=1024)
+        assert wm.n_windows == 1
+        ex = exact_matcher_for_circuit(c, chunk=1024)
+        within = dets.sum(1) <= 12
+        assert (wm.decode_batch(dets)[within]
+                == ex.decode_batch(dets)[within]).all()
+
+    def test_sliding_windows_match_global_exact(self):
+        """Multi-window decoding with the default buffer must agree with
+        the global DP on (essentially) every shot — the sliding-window
+        guarantee below threshold — while spanning more rounds than any
+        single K-budget DP could."""
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.window_matcher import (
+            window_matcher_for_circuit)
+        c, det_round, dets, obs = self._setup(3, 9, 6e-3, 2048, 5)
+        wm = window_matcher_for_circuit(c, det_round, window_rounds=5,
+                                        commit_rounds=2, chunk=2048)
+        assert wm.n_windows > 2
+        ex = exact_matcher_for_circuit(c, chunk=2048)
+        within = dets.sum(1) <= 12
+        pw = wm.decode_batch(dets)[within]
+        pe = ex.decode_batch(dets)[within]
+        agree = float(np.mean(pw == pe))
+        assert agree > 0.995, f"window/global agreement only {agree}"
+        # decoding quality must match the global decoder's
+        p_win = np.mean((wm.decode_batch(dets) ^ obs) & 1)
+        p_ex = np.mean((ex.decode_batch(dets) ^ obs) & 1)
+        assert p_win <= p_ex * 1.2 + 1e-3
+        # windows keep the per-DP defect count bounded
+        assert wm.overflow_fraction(dets) <= ex.overflow_fraction(dets)
+
+    def test_window_scales_past_global_budget(self):
+        """At a defect load where the K=12 global DP truncates heavily,
+        the windowed decoder must stay within budget and decode better."""
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            exact_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.window_matcher import (
+            window_matcher_for_circuit)
+        c, det_round, dets, obs = self._setup(3, 24, 8e-3, 1024, 9)
+        wm = window_matcher_for_circuit(c, det_round, window_rounds=5,
+                                        commit_rounds=2, chunk=1024)
+        ex = exact_matcher_for_circuit(c, chunk=1024)
+        assert ex.overflow_fraction(dets) > 0.05    # global DP truncates
+        assert wm.overflow_fraction(dets) < 0.02    # windows do not
+        p_win = np.mean((wm.decode_batch(dets) ^ obs) & 1)
+        p_ex = np.mean((ex.decode_batch(dets) ^ obs) & 1)
+        assert p_win <= p_ex
+
+
 class TestHybridMatcher:
     def test_matches_exact_below_budget_and_beats_both_near_threshold(self):
         import jax
