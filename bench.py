@@ -319,23 +319,28 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     # chunk/capacity measured on v5e: 16384/1024 -> 936k shots/s at d=7
     # vs 600k at 4096/512 (the DP is latency-bound in its ~7 sequential
     # levels of small matmuls; bigger chunks amortize the fixed op cost).
-    # d >= 9: the mean defect count blows any per-shot K budget, so the
-    # hybrid matcher routes overflow shots to TPU greedy-32 per shot
+    # d >= 9: the mean defect count blows any per-shot K budget, so
+    # decoding slides over round windows, each decoded exactly
     # (examples/qec_scale_study.py has the regime map + measurements)
     K = 12
-    chunk = min(16384, decode_shots)
     if d <= 7:
+        chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
                                          chunk=chunk,
                                          heavy_capacity=max(chunk // 16, 64))
         decoder_name = (f"on-device exact MWPM (tiered bitmask DP, "
                         f"K=6 all shots / K={K} heavy tail)")
     else:
-        from noisyquantumsimulator_tpu.qec.exact_matcher import (
-            exact_matcher_for_circuit)
-        dec = exact_matcher_for_circuit(circuit, hybrid=True, chunk=chunk)
-        decoder_name = ("on-device hybrid MWPM (exact bitmask DP K=12 / "
-                        "greedy-32 overflow, routed per shot)")
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_detector_rounds)
+        from noisyquantumsimulator_tpu.qec.window_matcher import (
+            window_matcher_for_circuit)
+        chunk = min(4096, decode_shots)
+        dec = window_matcher_for_circuit(
+            circuit, memory_z_detector_rounds(d, rounds),
+            window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk)
+        decoder_name = ("on-device sliding-window exact MWPM "
+                        f"(W=5 rounds, commit 2, K={K} per window)")
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):
@@ -343,10 +348,17 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         dets = o["detectors"].astype(jnp.uint8)
         S = dets.shape[0]
         det_chunks = dets.reshape(S // chunk, chunk, -1)
-        preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
+        if d <= 7:
+            preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
+            n_ovf = jnp.sum(jnp.sum(dets.astype(jnp.int32), axis=1) > K)
+        else:
+            # windowed: truncation happens per window, not per shot —
+            # report the decoder's own on-device overflow flag
+            preds, ovfs = jax.lax.map(dec._fn, det_chunks)
+            preds = preds.reshape(S)
+            n_ovf = jnp.sum(ovfs)
         obs = o["observables"][:, 0].astype(jnp.int32)
         n_err = jnp.sum((preds ^ obs) & 1)
-        n_ovf = jnp.sum(jnp.sum(dets.astype(jnp.int32), axis=1) > K)
         return n_err, n_ovf
 
     e2e_j = jax.jit(e2e)

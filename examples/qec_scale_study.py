@@ -54,19 +54,27 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     # with d^2 * rounds): d <= 7 stays in the tiered EXACT matcher's K=12
     # per-shot budget at p ~ 1e-3 (overflow ~ 2e-4 at d=7); d >= 9 the
     # mean defect count (4.8 at d=9, 8.6 at d=11) blows the budget, so
-    # the hybrid matcher routes overflow shots to the TPU greedy-32 path
-    # per shot (measured ~1.25x MWPM p_L near threshold) instead of
-    # silently truncating defects
+    # decoding slides over round windows — per-window counts stay
+    # bounded and each window is decoded EXACTLY (window_matcher.py; the
+    # hybrid greedy fallback measured p_L 4.6e-3/6.6e-2 at d=9/11, the
+    # windowed exact path restores MWPM-class scaling)
     K = 12
-    chunk = min(16384, decode_shots)
     if d <= 7:
+        chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
                                          chunk=chunk,
                                          heavy_capacity=max(chunk // 16, 64))
         decoder_name = "tiered exact (K=6/K=12)"
     else:
-        dec = exact_matcher_for_circuit(circuit, hybrid=True, chunk=chunk)
-        decoder_name = "hybrid (exact K=12 / greedy-32 overflow)"
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_detector_rounds)
+        from noisyquantumsimulator_tpu.qec.window_matcher import (
+            window_matcher_for_circuit)
+        chunk = min(4096, decode_shots)
+        dec = window_matcher_for_circuit(
+            circuit, memory_z_detector_rounds(d, rounds),
+            window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk)
+        decoder_name = "sliding-window exact (W=5, C=2, K=12)"
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):
@@ -74,10 +82,17 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         dets = o["detectors"].astype(jnp.uint8)
         S = dets.shape[0]
         det_chunks = dets.reshape(S // chunk, chunk, -1)
-        preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
+        if d <= 7:
+            preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
+            n_ovf = jnp.sum(jnp.sum(dets.astype(jnp.int32), axis=1) > K)
+        else:
+            # windowed: truncation happens per window, not per shot —
+            # report the decoder's own on-device overflow flag
+            preds, ovfs = jax.lax.map(dec._fn, det_chunks)
+            preds = preds.reshape(S)
+            n_ovf = jnp.sum(ovfs)
         obs = o["observables"][:, 0].astype(jnp.int32)
         n_err = jnp.sum((preds ^ obs) & 1)
-        n_ovf = jnp.sum(jnp.sum(dets.astype(jnp.int32), axis=1) > K)
         return n_err, n_ovf
 
     e2e_j = jax.jit(e2e)
