@@ -316,9 +316,10 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     # ---- end-to-end: sample + exact DP matching decode, one jit ----
     # tiered: K=6 DP on every shot, K=12 DP on the compacted heavy tail —
     # exact within the K=12 budget (bit-identical to the pure K=12 DP).
-    # chunk/capacity measured on v5e: 16384/1024 -> 936k shots/s at d=7
-    # vs 600k at 4096/512 (the DP is latency-bound in its ~7 sequential
-    # levels of small matmuls; bigger chunks amortize the fixed op cost).
+    # chunk/capacity measured on v5e at d=7: 16384/1024 -> 768k shots/s
+    # in this bench (936k in an isolated-decoder A/B) vs 600k at 4096/512
+    # (the DP is latency-bound in its ~7 sequential levels of small
+    # matmuls; bigger chunks amortize the fixed op cost).
     # d >= 9: the mean defect count blows any per-shot K budget, so
     # decoding slides over round windows, each decoded exactly
     # (examples/qec_scale_study.py has the regime map + measurements)
@@ -327,7 +328,7 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
                                          chunk=chunk,
-                                         heavy_capacity=max(chunk // 16, 64))
+                                         heavy_capacity=min(chunk, max(chunk // 16, 64)))
         decoder_name = (f"on-device exact MWPM (tiered bitmask DP, "
                         f"K=6 all shots / K={K} heavy tail)")
     else:
@@ -354,7 +355,8 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         else:
             # windowed: truncation happens per window, not per shot —
             # report the decoder's own on-device overflow flag
-            preds, ovfs = jax.lax.map(dec._fn, det_chunks)
+            preds, ovfs = jax.lax.map(dec.decode_device_with_overflow,
+                                      det_chunks)
             preds = preds.reshape(S)
             n_ovf = jnp.sum(ovfs)
         obs = o["observables"][:, 0].astype(jnp.int32)

@@ -30,8 +30,8 @@ def main(n_steps: int = 300, iters: int = 400, lr: float = 2e-3) -> None:
     from noisyquantumsimulator_tpu.optimize.apparatus import (
         ApparatusConstraints)
     from noisyquantumsimulator_tpu.optimize.engine import (
-        build_fixed_problem, free_phases_uniform_from_params,
-        make_objective, make_value_and_grad, smooth_jp_uniform_from_params)
+        build_fixed_problem, make_objective, make_value_and_grad,
+        smooth_jp_uniform_from_params)
     from noisyquantumsimulator_tpu.optimize.forward import (
         get_smooth_jp_bounds_and_x0)
 

@@ -34,7 +34,7 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
     from noisyquantumsimulator_tpu.qec.surface_code import memory_z_circuit
     from noisyquantumsimulator_tpu.qec.exact_matcher import (
-        exact_matcher_for_circuit, tiered_matcher_for_circuit)
+        tiered_matcher_for_circuit)
 
     circuit = memory_z_circuit(d, rounds, p=p)
     block = min(sample_shots, 1 << 20 if d <= 7 else 1 << 18)
@@ -88,7 +88,8 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         else:
             # windowed: truncation happens per window, not per shot —
             # report the decoder's own on-device overflow flag
-            preds, ovfs = jax.lax.map(dec._fn, det_chunks)
+            preds, ovfs = jax.lax.map(dec.decode_device_with_overflow,
+                                      det_chunks)
             preds = preds.reshape(S)
             n_ovf = jnp.sum(ovfs)
         obs = o["observables"][:, 0].astype(jnp.int32)

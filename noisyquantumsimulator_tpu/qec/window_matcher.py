@@ -29,16 +29,16 @@ the W - C buffer rounds — the standard sliding-window guarantee; with
 the defaults (W=5, C=2) the windowed decision agrees with the global DP
 on every shot the tests compare. Windows that still exceed K defects
 (clustering fattens the tail far beyond Poisson) DEFER the over-budget
-defects to the next window instead of truncating them — every defect is
-matched exactly once, so overflow degrades optimality, never drops
-syndrome information. Reference target: PyMatching's role in
-architecture/qec/decoders.py:6-17.
+defects to the next window instead of truncating them — in every window
+but the last, overflow therefore degrades optimality without dropping
+syndrome information; the FINAL window has no successor to defer into,
+so its over-budget defects are lost there (the per-shot `ovf` flag and
+overflow_fraction() record exactly these cases). Reference target:
+PyMatching's role in architecture/qec/decoders.py:6-17.
 """
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,20 +58,38 @@ class WindowMatcherTPU:
     def __init__(self, n_detectors: int, edges: np.ndarray, probs: np.ndarray,
                  obs: np.ndarray, det_round: np.ndarray,
                  window_rounds: int = 5, commit_rounds: int = 2,
-                 max_defects: int = 12, chunk: int = 4096):
-        if commit_rounds >= window_rounds:
-            raise ValueError("window_rounds must exceed commit_rounds "
-                             "(the overlap buffer is their difference)")
+                 max_defects: int = 12, chunk: int = 4096,
+                 k_light: int = 0, heavy_capacity: int = 0):
+        """k_light > 0 enables per-window cost tiering: every (shot,
+        window) is traced by a cheap K=k_light DP, and only shots whose
+        window holds more than k_light defects are top_k-compacted (to
+        `heavy_capacity` rows, default chunk/4) and re-traced by the full
+        K=max_defects DP — same results wherever both budgets suffice,
+        at a fraction of the cost (the K=12 trace dominates d >= 9 e2e
+        time; most windows hold <= 6 defects)."""
+        if not 1 <= commit_rounds < window_rounds:
+            raise ValueError("need 1 <= commit_rounds < window_rounds "
+                             "(the overlap buffer is their difference; "
+                             "commit_rounds is the window stride)")
         det_round = np.asarray(det_round, np.int32)
         if det_round.shape != (n_detectors,):
             raise ValueError("det_round must label every detector")
+        if k_light >= max_defects:
+            raise ValueError("k_light must be below max_defects")
         self.matcher = ExactMatcherTPU(n_detectors, edges, probs, obs,
                                        max_defects=max_defects, chunk=chunk)
         self.max_defects = max_defects
         self.chunk = chunk
         self.n_detectors = n_detectors
-        self.last_overflow_fraction = 0.0
         K = max_defects
+        KL = k_light
+        if KL:
+            self.light = ExactMatcherTPU(n_detectors, edges, probs, obs,
+                                         max_defects=KL, chunk=chunk)
+            C_heavy = heavy_capacity or min(chunk, max(chunk // 4, 64))
+            if not 1 <= C_heavy <= chunk:
+                raise ValueError(f"heavy_capacity must be in [1, {chunk}]")
+            self.heavy_capacity = C_heavy
         n_rounds = int(det_round.max()) + 1
         R_END = n_rounds + 2  # commit-everything sentinel
 
@@ -93,9 +111,35 @@ class WindowMatcherTPU:
         NW = n_detectors + 1
         rd_ext = jnp.asarray(np.append(det_round, 1 << 30).astype(np.int32))
         trace = self.matcher._trace_fn
+        trace_light = self.light._trace_fn if KL else None
         ks = jnp.arange(K, dtype=jnp.int32)
 
         det_round_np = det_round
+
+        def window_match(active, nd_act, S):
+            """(match, det_idx, keff): the traced matching of `active`
+            and each shot's effective defect budget this window."""
+            if not KL:
+                _, match, det_idx = trace(active)
+                return match, det_idx, jnp.full((S,), K, jnp.int32)
+            _, mL, dL = trace_light(active)
+            match = jnp.concatenate(
+                [jnp.where(mL == KL, jnp.int32(K), mL),
+                 jnp.full((S, K - KL), -1, jnp.int32)], axis=1)
+            det_idx = jnp.concatenate(
+                [dL, jnp.full((S, K - KL), n_detectors, jnp.int32)], axis=1)
+            kcap = min(self.heavy_capacity, S)
+            _, hidx = jax.lax.top_k(nd_act, kcap)
+            _, mH, dH = trace(jnp.take(active, hidx, axis=0))
+            is_heavy = (jnp.take(nd_act, hidx, axis=0) > KL)[:, None]
+            match = match.at[hidx].set(
+                jnp.where(is_heavy, mH, jnp.take(match, hidx, axis=0)))
+            det_idx = det_idx.at[hidx].set(
+                jnp.where(is_heavy, dH, jnp.take(det_idx, hidx, axis=0)))
+            heavy_served = jnp.zeros((S,), bool).at[hidx].set(
+                is_heavy[:, 0])
+            keff = jnp.where(heavy_served, jnp.int32(K), jnp.int32(KL))
+            return match, det_idx, keff
 
         def decode_chunk(dets):
             S = dets.shape[0]
@@ -105,18 +149,19 @@ class WindowMatcherTPU:
             for mask_np, ce in windows:
                 mask = jnp.asarray(mask_np)
                 active = jnp.where(mask[None, :] == 1, dets, 0) | carry
-                ovf = ovf | (jnp.sum(active.astype(jnp.int32), axis=1) > K)
-                _, match, det_idx = trace(active)
-                # defects beyond the K budget are NOT decoded this window
-                # (the DP keeps the K lowest indices = earliest rounds).
-                # Those in buffer rounds reappear via the next window's
-                # mask; those in commit rounds must be DEFERRED explicitly
-                # or they would vanish — dropping a defect flips the
-                # observable with ~50% odds (measured: dominates p_L at
-                # d >= 9 without this carry)
                 bits = active.astype(jnp.int32)
                 rank = jnp.cumsum(bits, axis=1) * bits
-                dropped = (rank > K) & (
+                nd_act = jnp.sum(bits, axis=1)
+                match, det_idx, keff = window_match(active, nd_act, S)
+                ovf = ovf | (nd_act > keff)
+                # defects beyond the shot's budget are NOT decoded this
+                # window (the DP keeps the lowest indices = earliest
+                # rounds). Those in buffer rounds reappear via the next
+                # window's mask; those in commit rounds must be DEFERRED
+                # explicitly or they would vanish — dropping a defect
+                # flips the observable with ~50% odds (measured:
+                # dominates p_L at d >= 9 without this carry)
+                dropped = (rank > keff[:, None]) & (
                     jnp.asarray(det_round_np < ce)[None, :])
                 rd = rd_ext[det_idx]                       # (S, K)
                 is_pair = (match >= 0) & (match < K)
@@ -156,6 +201,12 @@ class WindowMatcherTPU:
         """Jit-composable decode: (S, n_det) on device -> (S,) int32."""
         return self._fn(dets)[0]
 
+    def decode_device_with_overflow(self, dets: jnp.ndarray):
+        """Jit-composable decode returning (pred (S,) int32, ovf (S,)
+        bool) — ovf flags shots where any window (with the real carry
+        dynamics) exceeded its defect budget."""
+        return self._fn(dets)
+
     def decode_batch(self, detectors) -> np.ndarray:
         dets = np.asarray(detectors, dtype=np.uint8)
         t0 = time.perf_counter()
@@ -169,32 +220,26 @@ class WindowMatcherTPU:
         exceeded the K defect budget — measured on device with the real
         carry dynamics, not a host approximation."""
         dets = np.asarray(detectors, dtype=np.uint8)
-        S = dets.shape[0]
-        n_over = 0
-        for s0 in range(0, S, self.chunk):
-            block = dets[s0:s0 + self.chunk]
-            n = block.shape[0]
-            if n < self.chunk:
-                block = np.concatenate(
-                    [block, np.zeros((self.chunk - n,) + block.shape[1:],
-                                     block.dtype)])
-            _, ovf = self._fn(jnp.asarray(block))
-            n_over += int(np.asarray(ovf)[:n].sum())
-        return n_over / max(S, 1)
+        ovf_fn = lambda x: self._fn(x)[1].astype(jnp.int32)  # noqa: E731
+        ovf = _chunked_decode(ovf_fn, dets, self.chunk)
+        return float(ovf.mean())
 
 
 def window_matcher_for_circuit(circuit, det_round: np.ndarray,
                                window_rounds: int = 5,
                                commit_rounds: int = 2,
                                max_defects: int = 12,
-                               chunk: int = 4096) -> WindowMatcherTPU:
+                               chunk: int = 4096,
+                               k_light: int = 0,
+                               heavy_capacity: int = 0) -> WindowMatcherTPU:
     from .dem import build_dem, dem_to_edges
     dem = build_dem(circuit)
     edges, probs, obs = dem_to_edges(dem)
     return WindowMatcherTPU(circuit.n_detectors, edges, probs, obs,
                             det_round, window_rounds=window_rounds,
                             commit_rounds=commit_rounds,
-                            max_defects=max_defects, chunk=chunk)
+                            max_defects=max_defects, chunk=chunk,
+                            k_light=k_light, heavy_capacity=heavy_capacity)
 
 
 __all__ = ["WindowMatcherTPU", "window_matcher_for_circuit"]

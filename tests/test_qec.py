@@ -803,6 +803,22 @@ class TestWindowMatcher:
         # windows keep the per-DP defect count bounded
         assert wm.overflow_fraction(dets) <= ex.overflow_fraction(dets)
 
+    def test_tiered_windows_bit_identical(self):
+        """Window tiering (K=6 light trace on all shots, K=12 on the
+        compacted heavy windows) must reproduce the untiered windowed
+        decoder exactly when the compaction capacity covers every heavy
+        shot."""
+        from noisyquantumsimulator_tpu.qec.window_matcher import (
+            window_matcher_for_circuit)
+        c, det_round, dets, _ = self._setup(3, 9, 8e-3, 1024, 6)
+        base = window_matcher_for_circuit(c, det_round, window_rounds=5,
+                                          commit_rounds=2, chunk=1024)
+        tier = window_matcher_for_circuit(c, det_round, window_rounds=5,
+                                          commit_rounds=2, chunk=1024,
+                                          k_light=6, heavy_capacity=1024)
+        assert (tier.decode_batch(dets) == base.decode_batch(dets)).all()
+        assert tier.overflow_fraction(dets) == base.overflow_fraction(dets)
+
     def test_window_scales_past_global_budget(self):
         """At a defect load where the K=12 global DP truncates heavily,
         the windowed decoder must stay within budget and decode better."""
