@@ -339,9 +339,10 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         chunk = min(4096, decode_shots)
         dec = window_matcher_for_circuit(
             circuit, memory_z_detector_rounds(d, rounds),
-            window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk)
+            window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk,
+            k_light=6)
         decoder_name = ("on-device sliding-window exact MWPM "
-                        f"(W=5 rounds, commit 2, K={K} per window)")
+                        f"(W=5 rounds, commit 2, K=6/{K} tiered per window)")
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):
@@ -390,6 +391,73 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         "e2e_decoder": decoder_name,
         "e2e_p_logical_shot": errs / n_dec,
         "e2e_overflow_fraction": ovf / n_dec,
+    }))
+
+
+def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192):
+    """Tertiary benchmark (--bb): gross-code [[144,12,12]] circuit-level
+    memory, sample + sparse DEM-BP decode + per-observable failure check
+    in ONE jitted call (pure BP on device; non-converged shots count as
+    failures — the host OSD-assisted p_L is reported alongside as the
+    accuracy reference)."""
+    import jax
+    import jax.numpy as jnp
+    from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
+    from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
+    from noisyquantumsimulator_tpu.qec.ldpc import (bb_memory_circuit,
+                                                    css_n_k, gross_code)
+
+    Hx, Hz = gross_code()
+    n, k = css_n_k(Hx, Hz)
+    circuit = bb_memory_circuit(Hx, Hz, rounds, p)
+    sampler = build_fast_sampler(circuit, shots)
+    dec = DemBPDecoder(circuit, n_iters=60)
+    bits = jnp.arange(k, dtype=jnp.int32)
+
+    def e2e(key):
+        o = sampler(key)
+        pred, bad, _ = dec._full(o["detectors"].astype(jnp.float32))
+        obs = o["observables"].astype(jnp.int32)          # (S, k)
+        pb = (pred[:, None] >> bits[None, :]) & 1
+        fail = jnp.any(pb != obs, axis=1) | bad
+        return jnp.sum(fail), jnp.sum(bad)
+
+    e2e_j = jax.jit(e2e)
+    int(e2e_j(jax.random.PRNGKey(0))[0])  # warm-up fence
+    reps = 3
+    t0 = time.perf_counter()
+    fails = bad = 0
+    for r in range(reps):
+        f, b = e2e_j(jax.random.PRNGKey(100 + r))
+        fails += int(f)
+        bad += int(b)
+    dt = time.perf_counter() - t0
+    n_tot = shots * reps
+
+    # host accuracy reference: BP + OSD-0 fallback on the same shots
+    import numpy as np_
+    o = sampler(jax.random.PRNGKey(100))
+    dets = np_.asarray(o["detectors"])
+    obs = np_.asarray(o["observables"])
+    pred = dec.decode_batch(dets)
+    fail_osd = np_.zeros(shots, bool)
+    for bit in range(k):
+        fail_osd |= (((pred >> bit) & 1) != obs[:, bit])
+
+    print(json.dumps({
+        "metric": "gross_code_e2e_sample_bp_decode_shots_per_sec",
+        "value": round(n_tot / dt, 0),
+        "unit": "shots/s",
+        "vs_baseline": None,
+        "code": f"[[{n},{k}]]", "rounds": rounds, "p": p,
+        "n_detectors": circuit.n_detectors,
+        "n_mechanisms": dec.n_mech,
+        "backend": jax.devices()[0].platform,
+        "e2e_p_logical_shot_pure_bp": fails / n_tot,
+        "bp_nonconverged_frac": bad / n_tot,
+        "p_logical_shot_bp_osd": float(fail_osd.mean()),
+        "osd_decode_shots_per_sec": round(shots / dec.last_decode_seconds,
+                                          0),
     }))
 
 
@@ -467,6 +535,9 @@ if __name__ == "__main__":
         main_qec(d=_flag(sys.argv, "--d", 7),
                  rounds=_flag(sys.argv, "--rounds", 7),
                  shots=_flag(sys.argv, "--shots", 1 << 20))
+    elif "--bb" in sys.argv:
+        main_bb(rounds=_flag(sys.argv, "--rounds", 3),
+                shots=_flag(sys.argv, "--shots", 8192))
     else:
         dim4 = "--dim4" in sys.argv
         main(batch=_flag(sys.argv, "--batch", 1024 if dim4 else 4096),
