@@ -67,6 +67,7 @@ def run_memory(
     circuits with non-deterministic detectors.
     """
     rounds = rounds if rounds is not None else d
+    built_here = circuit is None
     if circuit is None:
         if basis.upper() == "X":
             from .surface_code import memory_x_circuit
@@ -79,11 +80,17 @@ def run_memory(
             raise ValueError(f"basis must be 'Z' or 'X', got {basis!r}")
 
     if decoder == "auto":
-        # native exact-MWPM (<=12 defects, greedy beyond) when built:
-        # strictly better accuracy AND ~1000x faster than the batched
-        # greedy for host-side decoding
-        from .native import native_available
-        decoder = "native" if native_available() else "matching"
+        if d >= 9 and built_here:
+            # the per-shot defect count blows any fixed exact-DP budget
+            # at scale; sliding-window exact matching keeps per-window
+            # counts bounded (window_matcher.py regime map)
+            decoder = "window"
+        else:
+            # native exact-MWPM (<=12 defects, greedy beyond) when
+            # built: strictly better accuracy AND ~1000x faster than
+            # the batched greedy for host-side decoding
+            from .native import native_available
+            decoder = "native" if native_available() else "matching"
 
     if sampler_kind == "fast":
         try:
@@ -92,7 +99,21 @@ def run_memory(
             sampler = build_sampler(circuit, shots)
     else:
         sampler = build_sampler(circuit, shots)
-    dec = decoder_for_circuit(circuit, kind=decoder, max_defects=max_defects)
+    if decoder == "window":
+        if not built_here:
+            raise ValueError(
+                "decoder='window' needs the round labels of a memory "
+                "circuit built by run_memory itself; for external "
+                "circuits construct qec.window_matcher_for_circuit with "
+                "your own det_round labels")
+        from .surface_code import memory_z_detector_rounds
+        from .window_matcher import window_matcher_for_circuit
+        dec = window_matcher_for_circuit(
+            circuit, memory_z_detector_rounds(d, rounds), k_light=6,
+            chunk=min(4096, max(256, shots)))
+    else:
+        dec = decoder_for_circuit(circuit, kind=decoder,
+                                  max_defects=max_defects)
 
     # compile outside the timed region
     out = sampler(jax.random.PRNGKey(seed))

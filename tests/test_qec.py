@@ -837,6 +837,27 @@ class TestWindowMatcher:
         assert p_win <= p_ex
 
 
+class TestRunMemoryWindowRouting:
+    def test_auto_routes_large_d_to_window(self):
+        """run_memory's auto decoder must use sliding-window exact
+        matching at d >= 9 (fixed-budget DPs truncate there) and produce
+        a physical logical error rate."""
+        from noisyquantumsimulator_tpu.qec.memory import run_memory
+        r = run_memory(d=9, rounds=6, p=2e-3, shots=2048)
+        assert r.decoder == "window"
+        assert 0.0 <= r.p_logical_shot < 0.1
+
+    def test_window_decoder_rejects_external_circuit(self):
+        import pytest
+        from noisyquantumsimulator_tpu.qec.memory import run_memory
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        c = memory_z_circuit(3, 3, p=1e-3)
+        with pytest.raises(ValueError):
+            run_memory(d=3, rounds=3, circuit=c, decoder="window",
+                       shots=256)
+
+
 class TestHybridMatcher:
     def test_matches_exact_below_budget_and_beats_both_near_threshold(self):
         import jax
