@@ -93,6 +93,18 @@ class TestObjectives:
         cost, m = obj(jnp.asarray(x0))
         assert np.isfinite(float(cost))
 
+    def test_optimize_cz_gate_grape_protocol(self):
+        """optimize_cz_gate(protocol='grape') runs the full adam loop and
+        returns a standard OptimizationResult with per-phase params."""
+        from noisyquantumsimulator_tpu.optimize.forward import (
+            optimize_cz_gate)
+        r = optimize_cz_gate("grape", grape_steps=15, grape_n_steps=48)
+        assert r.protocol == "grape"
+        assert len(r.best_params) == 48
+        assert len(r.param_names) == 48
+        assert r.best_metrics["avg_fidelity"] > 0.95
+        assert r.history[-1] <= r.history[0]
+
     def test_grape_free_phases_descends(self, problem):
         """GRAPE mode: every segment phase is a parameter; adam through
         the differentiable solver must reduce the cost from the smooth-JP
