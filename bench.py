@@ -340,9 +340,9 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         dec = window_matcher_for_circuit(
             circuit, memory_z_detector_rounds(d, rounds),
             window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk,
-            k_light=6)
+            k_light=6, greedy_fallback=32)
         decoder_name = ("on-device sliding-window exact MWPM "
-                        f"(W=5 rounds, commit 2, K=6/{K} tiered per window)")
+                        f"(W=5 rounds, commit 2, K=6/{K} tiered + greedy-32 fallback per window)")
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):

@@ -74,8 +74,8 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         dec = window_matcher_for_circuit(
             circuit, memory_z_detector_rounds(d, rounds),
             window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk,
-            k_light=6)
-        decoder_name = "sliding-window exact (W=5, C=2, K=6/12 tiered)"
+            k_light=6, greedy_fallback=32)
+        decoder_name = "sliding-window exact (W=5, C=2, K=6/12 tiered, greedy-32 fallback)"
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):

@@ -142,6 +142,71 @@ def _greedy_decode_batch(dets, dist, parity, max_defects: int):
     return jax.vmap(one)(dets)
 
 
+def _greedy_match_batch(dets, dist, parity, max_defects: int):
+    """Like _greedy_decode_batch but EXTRACTS the matching.
+
+    Returns (match (S, K) int32, det_idx (S, K) int32): per defect slot
+    (lowest detector index first, same slot order as the exact DP) the
+    matched slot, K for a boundary match, -1 for unused slots; det_idx
+    carries each slot's detector index (n_det when unused). Greedy pairs
+    taken "via boundary" decompose into two independent boundary matches
+    — structurally faithful, so windowed commit/defer logic can consume
+    this as a drop-in budget-free fallback tier. XORing the matched
+    pairs' parities reproduces _greedy_decode_batch bit-for-bit (tested).
+    """
+    S, n_det = dets.shape
+    K = min(max_defects, n_det)
+    B = n_det
+
+    def one(det_row):
+        bits = det_row.astype(jnp.int32)
+        order = jnp.argsort(-bits, stable=True)
+        idx = order[:K]
+        valid = bits[idx] > 0
+        nodes = jnp.where(valid, idx, B)
+
+        Dm = dist[nodes][:, nodes]
+        Db = dist[nodes, B]
+        via_bnd = Db[:, None] + Db[None, :]
+        use_direct = Dm <= via_bnd
+        Deff = jnp.where(use_direct, Dm, via_bnd)
+
+        big = jnp.asarray(1e17, dist.dtype)
+        eye = jnp.eye(K, dtype=bool)
+
+        def body(_, carry):
+            used, match = carry
+            avail = (~used) & valid
+            pair_ok = avail[:, None] & avail[None, :] & (~eye)
+            Mp = jnp.where(pair_ok, Deff, big)
+            pflat = jnp.argmin(Mp)
+            i, j = pflat // K, pflat % K
+            have_pair = Mp[i, j] < big
+            n_avail = jnp.sum(avail.astype(jnp.int32))
+            bi = jnp.argmax(avail)
+            lone = (n_avail == 1)
+
+            direct = use_direct[i, j]
+            mi = jnp.where(direct, j, K).astype(jnp.int32)
+            mj = jnp.where(direct, i, K).astype(jnp.int32)
+            match = jnp.where(have_pair,
+                              match.at[i].set(mi).at[j].set(mj),
+                              jnp.where(lone,
+                                        match.at[bi].set(jnp.int32(K)),
+                                        match))
+            used = jnp.where(have_pair,
+                             used.at[i].set(True).at[j].set(True),
+                             jnp.where(lone, used.at[bi].set(True), used))
+            return used, match
+
+        used0 = jnp.zeros((K,), dtype=bool)
+        match0 = jnp.full((K,), -1, jnp.int32)
+        _, match = jax.lax.fori_loop(0, K, body, (used0, match0))
+        return match, nodes.astype(jnp.int32)
+
+    return jax.vmap(one)(dets)
+
+
 class MatchingDecoder:
     """Batched greedy matching on the space-time detector graph."""
 

@@ -59,14 +59,23 @@ class WindowMatcherTPU:
                  obs: np.ndarray, det_round: np.ndarray,
                  window_rounds: int = 5, commit_rounds: int = 2,
                  max_defects: int = 12, chunk: int = 4096,
-                 k_light: int = 0, heavy_capacity: int = 0):
+                 k_light: int = 0, heavy_capacity: int = 0,
+                 greedy_fallback: int = 0, greedy_capacity: int = 0):
         """k_light > 0 enables per-window cost tiering: every (shot,
         window) is traced by a cheap K=k_light DP, and only shots whose
         window holds more than k_light defects are top_k-compacted (to
         `heavy_capacity` rows, default chunk/4) and re-traced by the full
         K=max_defects DP — same results wherever both budgets suffice,
         at a fraction of the cost (the K=12 trace dominates d >= 9 e2e
-        time; most windows hold <= 6 defects)."""
+        time; most windows hold <= 6 defects).
+
+        greedy_fallback > max_defects adds a third, budget-free tier:
+        windows holding MORE than max_defects defects (where the exact DP
+        would truncate and deferral alone costs ~4.5% logical error on
+        those shots) are instead matched by the greedy kernel with its
+        matching extracted (decoders._greedy_match_batch, up to
+        `greedy_fallback` defects) — near-MWPM per window, and the
+        commit/defer bookkeeping stays exact."""
         if not 1 <= commit_rounds < window_rounds:
             raise ValueError("need 1 <= commit_rounds < window_rounds "
                              "(the overlap buffer is their difference; "
@@ -90,6 +99,16 @@ class WindowMatcherTPU:
             if not 1 <= C_heavy <= chunk:
                 raise ValueError(f"heavy_capacity must be in [1, {chunk}]")
             self.heavy_capacity = C_heavy
+        MG = greedy_fallback
+        if MG:
+            if MG <= max_defects:
+                raise ValueError("greedy_fallback must exceed max_defects")
+            C_greedy = greedy_capacity or min(chunk, max(chunk // 16, 64))
+            if not 1 <= C_greedy <= chunk:
+                raise ValueError(f"greedy_capacity must be in [1, {chunk}]")
+            self.greedy_capacity = C_greedy
+        Kg = min(MG, n_detectors) if MG else 0   # greedy's slot width
+        MW = Kg if MG else max_defects           # unified output width
         n_rounds = int(det_round.max()) + 1
         R_END = n_rounds + 2  # commit-everything sentinel
 
@@ -112,33 +131,69 @@ class WindowMatcherTPU:
         rd_ext = jnp.asarray(np.append(det_round, 1 << 30).astype(np.int32))
         trace = self.matcher._trace_fn
         trace_light = self.light._trace_fn if KL else None
-        ks = jnp.arange(K, dtype=jnp.int32)
+        if MG:
+            from .decoders import _greedy_match_batch
+            gdist = jnp.asarray(g.dist.astype(np.float32))
+            gpar = jnp.asarray(g.parity)
+
+            def greedy_fn(rows):
+                return _greedy_match_batch(rows, gdist, gpar, MG)
+        ks = jnp.arange(MW, dtype=jnp.int32)
 
         det_round_np = det_round
+
+        def to_width(match, det_idx, from_k, rows):
+            """Remap a tier's (match, det_idx) into the unified MW-wide
+            slot layout (slot order is lowest-detector-first in every
+            tier, so only the boundary marker and padding change)."""
+            if from_k == MW:
+                return match, det_idx
+            m = jnp.where(match == from_k, jnp.int32(MW), match)
+            m = jnp.concatenate(
+                [m, jnp.full((rows, MW - from_k), -1, jnp.int32)], axis=1)
+            d = jnp.concatenate(
+                [det_idx, jnp.full((rows, MW - from_k), n_detectors,
+                                   jnp.int32)], axis=1)
+            return m, d
 
         def window_match(active, nd_act, S):
             """(match, det_idx, keff): the traced matching of `active`
             and each shot's effective defect budget this window."""
             if not KL:
-                _, match, det_idx = trace(active)
-                return match, det_idx, jnp.full((S,), K, jnp.int32)
-            _, mL, dL = trace_light(active)
-            match = jnp.concatenate(
-                [jnp.where(mL == KL, jnp.int32(K), mL),
-                 jnp.full((S, K - KL), -1, jnp.int32)], axis=1)
-            det_idx = jnp.concatenate(
-                [dL, jnp.full((S, K - KL), n_detectors, jnp.int32)], axis=1)
-            kcap = min(self.heavy_capacity, S)
-            _, hidx = jax.lax.top_k(nd_act, kcap)
-            _, mH, dH = trace(jnp.take(active, hidx, axis=0))
-            is_heavy = (jnp.take(nd_act, hidx, axis=0) > KL)[:, None]
-            match = match.at[hidx].set(
-                jnp.where(is_heavy, mH, jnp.take(match, hidx, axis=0)))
-            det_idx = det_idx.at[hidx].set(
-                jnp.where(is_heavy, dH, jnp.take(det_idx, hidx, axis=0)))
-            heavy_served = jnp.zeros((S,), bool).at[hidx].set(
-                is_heavy[:, 0])
-            keff = jnp.where(heavy_served, jnp.int32(K), jnp.int32(KL))
+                _, mD, dD = trace(active)
+                match, det_idx = to_width(mD, dD, K, S)
+                keff = jnp.full((S,), K, jnp.int32)
+            else:
+                _, mL, dL = trace_light(active)
+                match, det_idx = to_width(mL, dL, KL, S)
+                kcap = min(self.heavy_capacity, S)
+                _, hidx = jax.lax.top_k(nd_act, kcap)
+                _, mH, dH = trace(jnp.take(active, hidx, axis=0))
+                mH, dH = to_width(mH, dH, K, kcap)
+                is_heavy = (jnp.take(nd_act, hidx, axis=0) > KL)[:, None]
+                match = match.at[hidx].set(
+                    jnp.where(is_heavy, mH, jnp.take(match, hidx, axis=0)))
+                det_idx = det_idx.at[hidx].set(
+                    jnp.where(is_heavy, dH,
+                              jnp.take(det_idx, hidx, axis=0)))
+                heavy_served = jnp.zeros((S,), bool).at[hidx].set(
+                    is_heavy[:, 0])
+                keff = jnp.where(heavy_served, jnp.int32(K),
+                                 jnp.int32(KL))
+            if MG:
+                gcap = min(self.greedy_capacity, S)
+                _, gidx = jax.lax.top_k(nd_act, gcap)
+                mG, dG = greedy_fn(jnp.take(active, gidx, axis=0))
+                mG, dG = to_width(mG, dG, Kg, gcap)
+                is_over = (jnp.take(nd_act, gidx, axis=0) > K)[:, None]
+                match = match.at[gidx].set(
+                    jnp.where(is_over, mG, jnp.take(match, gidx, axis=0)))
+                det_idx = det_idx.at[gidx].set(
+                    jnp.where(is_over, dG,
+                              jnp.take(det_idx, gidx, axis=0)))
+                greedy_served = jnp.zeros((S,), bool).at[gidx].set(
+                    is_over[:, 0])
+                keff = jnp.where(greedy_served, jnp.int32(Kg), keff)
             return match, det_idx, keff
 
         def decode_chunk(dets):
@@ -163,12 +218,12 @@ class WindowMatcherTPU:
                 # dominates p_L at d >= 9 without this carry)
                 dropped = (rank > keff[:, None]) & (
                     jnp.asarray(det_round_np < ce)[None, :])
-                rd = rd_ext[det_idx]                       # (S, K)
-                is_pair = (match >= 0) & (match < K)
+                rd = rd_ext[det_idx]                       # (S, MW)
+                is_pair = (match >= 0) & (match < MW)
                 dj = jnp.take_along_axis(det_idx,
-                                         jnp.clip(match, 0, K - 1), axis=1)
+                                         jnp.clip(match, 0, MW - 1), axis=1)
                 rj = rd_ext[dj]
-                is_bnd = match == K
+                is_bnd = match == MW
                 commit_bnd = is_bnd & (rd < ce)
                 first = is_pair & (ks[None, :] < match)
                 commit_pair = first & (rd < ce) & (rj < ce)
@@ -231,7 +286,10 @@ def window_matcher_for_circuit(circuit, det_round: np.ndarray,
                                max_defects: int = 12,
                                chunk: int = 4096,
                                k_light: int = 0,
-                               heavy_capacity: int = 0) -> WindowMatcherTPU:
+                               heavy_capacity: int = 0,
+                               greedy_fallback: int = 0,
+                               greedy_capacity: int = 0
+                               ) -> WindowMatcherTPU:
     from .dem import build_dem, dem_to_edges
     dem = build_dem(circuit)
     edges, probs, obs = dem_to_edges(dem)
@@ -239,7 +297,9 @@ def window_matcher_for_circuit(circuit, det_round: np.ndarray,
                             det_round, window_rounds=window_rounds,
                             commit_rounds=commit_rounds,
                             max_defects=max_defects, chunk=chunk,
-                            k_light=k_light, heavy_capacity=heavy_capacity)
+                            k_light=k_light, heavy_capacity=heavy_capacity,
+                            greedy_fallback=greedy_fallback,
+                            greedy_capacity=greedy_capacity)
 
 
 __all__ = ["WindowMatcherTPU", "window_matcher_for_circuit"]

@@ -803,6 +803,76 @@ class TestWindowMatcher:
         # windows keep the per-DP defect count bounded
         assert wm.overflow_fraction(dets) <= ex.overflow_fraction(dets)
 
+    def test_greedy_match_reproduces_greedy_parity(self):
+        """_greedy_match_batch's extracted matching, re-scored against
+        the parity tables, must reproduce _greedy_decode_batch exactly."""
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        from noisyquantumsimulator_tpu.qec.dem import build_dem, dem_to_edges
+        from noisyquantumsimulator_tpu.qec.decoders import (
+            MatchingGraph, _greedy_decode_batch, _greedy_match_batch)
+        import jax
+        c = memory_z_circuit(3, rounds=4, p=2e-2)
+        dets = np.asarray(build_fast_sampler(c, 512)(
+            jax.random.PRNGKey(3))["detectors"], np.uint8)
+        edges, probs, obs = dem_to_edges(build_dem(c))
+        g = MatchingGraph.from_edges(c.n_detectors, edges, probs, obs)
+        dist = jnp.asarray(g.dist.astype(np.float32))
+        par = jnp.asarray(g.parity)
+        M = 16
+        p_ref = np.asarray(_greedy_decode_batch(jnp.asarray(dets), dist,
+                                                par, M))
+        match, det_idx = (np.asarray(a) for a in _greedy_match_batch(
+            jnp.asarray(dets), dist, par, M))
+        n_det = c.n_detectors
+        ptbl = g.parity
+        for s in range(dets.shape[0]):
+            p = 0
+            seen = set()
+            for i in range(M):
+                m = match[s, i]
+                if m == -1:
+                    continue
+                di = det_idx[s, i]
+                if m == M:
+                    p ^= int(ptbl[di, n_det])
+                elif (min(i, m), max(i, m)) not in seen:
+                    seen.add((min(i, m), max(i, m)))
+                    assert match[s, m] == i
+                    p ^= int(ptbl[di, det_idx[s, m]])
+            assert p == p_ref[s]
+
+    def test_greedy_fallback_windows(self):
+        """With greedy_fallback on, (a) shots that never overflow decode
+        bit-identically to the plain windowed matcher, and (b) under
+        heavy load the fallback decodes at least as well overall while
+        the overflow fraction drops (the greedy tier serves >K windows
+        instead of deferral-only)."""
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.window_matcher import (
+            window_matcher_for_circuit)
+        c, det_round, dets, obs = self._setup(5, 12, 1.5e-2, 1024, 11)
+        base = window_matcher_for_circuit(c, det_round, window_rounds=5,
+                                          commit_rounds=2, chunk=1024)
+        gr = window_matcher_for_circuit(c, det_round, window_rounds=5,
+                                        commit_rounds=2, chunk=1024,
+                                        greedy_fallback=32)
+        pb = base.decode_batch(dets)
+        pg = gr.decode_batch(dets)
+        # shots with no overflow anywhere must be identical
+        _, ovf_b = (np.asarray(a)
+                    for a in base.decode_device_with_overflow(
+                        jnp.asarray(dets)))
+        assert (pb[~ovf_b] == pg[~ovf_b]).all()
+        assert ovf_b.mean() > 0.02          # overload regime exercised
+        p_base = np.mean((pb ^ obs) & 1)
+        p_greedy = np.mean((pg ^ obs) & 1)
+        assert p_greedy <= p_base + 0.01
+        assert gr.overflow_fraction(dets) < ovf_b.mean()
+
     def test_tiered_windows_bit_identical(self):
         """Window tiering (K=6 light trace on all shots, K=12 on the
         compacted heavy windows) must reproduce the untiered windowed
