@@ -110,7 +110,7 @@ def run_memory(
         from .window_matcher import window_matcher_for_circuit
         dec = window_matcher_for_circuit(
             circuit, memory_z_detector_rounds(d, rounds), k_light=6,
-            chunk=min(4096, max(256, shots)))
+            greedy_fallback=32, chunk=min(4096, max(256, shots)))
     else:
         dec = decoder_for_circuit(circuit, kind=decoder,
                                   max_defects=max_defects)
