@@ -124,6 +124,12 @@ def main() -> None:
     import jax
     small = "--small" in sys.argv
     ds = (3, 5) if small else (3, 5, 7, 9, 11)
+    if "--ds" in sys.argv:
+        # run a subset in its own process (the d >= 9 greedy-window jit
+        # occasionally crashes the tunneled TPU worker; per-point
+        # processes keep the other rows) and MERGE into the existing JSON
+        ds = tuple(int(x) for x in
+                   sys.argv[sys.argv.index("--ds") + 1].split(","))
     sample_shots = (1 << 16) if small else (1 << 19)
     decode_shots = (1 << 14) if small else (1 << 17)
     p = 1e-3
@@ -140,9 +146,16 @@ def main() -> None:
               f"{r['e2e_overflow_fraction']:>9.2e}", flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "qec_scale.json")
+    prev = []
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = json.load(f).get("points", [])
+    merged = {r["d"]: r for r in prev}
+    merged.update({r["d"]: r for r in rows})
     with open(out, "w") as f:
         json.dump({"backend": jax.devices()[0].platform,
-                   "device": str(jax.devices()[0]), "points": rows}, f,
+                   "device": str(jax.devices()[0]),
+                   "points": [merged[d] for d in sorted(merged)]}, f,
                   indent=1)
     print(f"wrote {out}")
 
