@@ -117,6 +117,10 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         "e2e_p_logical_shot": errs / n_dec,
         "e2e_overflow_fraction": ovf / n_dec,
         "decoder": decoder_name,
+        # per-row provenance: --ds merges rows from separate runs, which
+        # may differ in backend or shot budget
+        "backend": jax.devices()[0].platform,
+        "sample_shots": shots_done, "decode_shots": n_dec,
     }
 
 

@@ -195,9 +195,14 @@ def optimize_cz_gate(
         return result
 
     if p in ("grape", "free_phases"):
+        # x0, if given, is the initial phase vector itself (warm start
+        # from a previous GRAPE result); bounds do not apply to adam
+        if bounds is not None:
+            raise ValueError("protocol='grape' is unconstrained adam; "
+                             "bounds are not supported")
         return _optimize_grape(problem, t0=t0, iters=grape_steps,
                                lr=grape_lr, n_steps=grape_n_steps,
-                               verbose=verbose)
+                               init_phases=x0, verbose=verbose)
 
     if p in ("lp", "levine_pichler", "two_pulse"):
         key, names = "levine_pichler", _PARAM_NAMES["lp"]
@@ -224,11 +229,12 @@ def optimize_cz_gate(
 
 
 def _optimize_grape(problem, t0, iters: int = 400, lr: float = 2e-3,
-                    n_steps: int = 300, verbose: bool = False
-                    ) -> OptimizationResult:
+                    n_steps: int = 300, init_phases=None,
+                    verbose: bool = False) -> OptimizationResult:
     """GRAPE mode: adam over ALL per-segment phases through the
     differentiable solver (engine.free_phases_uniform_from_params),
-    initialized from the literature smooth-JP pulse."""
+    initialized from the literature smooth-JP pulse (or `init_phases`,
+    a warm-start phase vector of length n_steps)."""
     import jax.numpy as jnp
     import optax
 
@@ -236,8 +242,14 @@ def _optimize_grape(problem, t0, iters: int = 400, lr: float = 2e-3,
                          smooth_jp_uniform_from_params)
 
     _, xs = get_smooth_jp_bounds_and_x0()
-    phases0, _, _ = smooth_jp_uniform_from_params(jnp.asarray(xs), problem,
-                                                  n_steps=n_steps)
+    if init_phases is not None:
+        phases0 = jnp.asarray(np.asarray(init_phases, dtype=float))
+        if phases0.shape != (n_steps,):
+            raise ValueError(f"init_phases must have shape ({n_steps},); "
+                             f"got {phases0.shape}")
+    else:
+        phases0, _, _ = smooth_jp_uniform_from_params(
+            jnp.asarray(xs), problem, n_steps=n_steps)
     ot, dow = float(xs[0]), float(xs[4])
     vg = make_value_and_grad(problem, "grape", omega_tau=ot,
                              delta_over_omega=dow)

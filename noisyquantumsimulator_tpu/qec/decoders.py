@@ -85,61 +85,22 @@ def _greedy_decode_batch(dets, dist, parity, max_defects: int):
     Per shot: take up to K defect indices (excess defects overflow into the
     boundary, which is safe at the low defect densities where matching
     decoding is meaningful), then K greedy rounds each matching the closest
-    available pair (defect-defect or defect-boundary).
+    available pair (defect-defect or defect-boundary). Thin re-scoring
+    wrapper around _greedy_match_batch — ONE greedy loop to maintain; the
+    equivalence is pinned by TestWindowMatcher's re-scoring test.
     """
     S, n_det = dets.shape
     K = min(max_defects, n_det)
-    B = n_det  # boundary node index in dist/parity
-
-    def one(det_row):
-        # top-K defect positions (stable): use argsort of (-bit, index)
-        bits = det_row.astype(jnp.int32)
-        order = jnp.argsort(-bits, stable=True)
-        idx = order[:K]
-        valid = bits[idx] > 0
-        nodes = jnp.where(valid, idx, B)
-
-        Dm = dist[nodes][:, nodes]                     # (K, K)
-        Pm = parity[nodes][:, nodes]
-        Db = dist[nodes, B]                            # (K,)
-        Pb = parity[nodes, B]
-
-        # effective pair cost: direct path OR both-to-boundary; this makes
-        # the 2-defect case exact (min(D_ab, D_aB + D_bB)) and greedy over
-        # effective costs near-optimal below threshold
-        via_bnd = Db[:, None] + Db[None, :]
-        use_direct = Dm <= via_bnd
-        Deff = jnp.where(use_direct, Dm, via_bnd)
-        Peff = jnp.where(use_direct, Pm, Pb[:, None] ^ Pb[None, :])
-
-        big = jnp.asarray(1e17, dist.dtype)
-        eye = jnp.eye(K, dtype=bool)
-
-        def body(_, carry):
-            used, par = carry
-            avail = (~used) & valid
-            pair_ok = avail[:, None] & avail[None, :] & (~eye)
-            Mp = jnp.where(pair_ok, Deff, big)
-            pflat = jnp.argmin(Mp)
-            i, j = pflat // K, pflat % K
-            have_pair = Mp[i, j] < big
-            n_avail = jnp.sum(avail.astype(jnp.int32))
-            # odd leftover: single defect matches the boundary alone
-            bi = jnp.argmax(avail)
-            lone = (n_avail == 1)
-
-            par = jnp.where(have_pair, par ^ Peff[i, j],
-                            jnp.where(lone, par ^ Pb[bi], par))
-            used = jnp.where(have_pair,
-                             used.at[i].set(True).at[j].set(True),
-                             jnp.where(lone, used.at[bi].set(True), used))
-            return used, par
-
-        used0 = jnp.zeros((K,), dtype=bool)
-        _, par = jax.lax.fori_loop(0, K, body, (used0, jnp.int32(0)))
-        return par
-
-    return jax.vmap(one)(dets)
+    match, det_idx = _greedy_match_batch(dets, dist, parity, max_defects)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    is_bnd = match == K
+    first = (match >= 0) & (match < K) & (ks[None, :] < match)
+    dj = jnp.take_along_axis(det_idx, jnp.clip(match, 0, K - 1), axis=1)
+    pari = parity.astype(jnp.int32)
+    pb = pari[det_idx, n_det]
+    pp = pari[det_idx, dj]
+    contrib = jnp.where(is_bnd, pb, 0) + jnp.where(first, pp, 0)
+    return (jnp.sum(contrib, axis=1) & 1).astype(jnp.int32)
 
 
 def _greedy_match_batch(dets, dist, parity, max_defects: int):

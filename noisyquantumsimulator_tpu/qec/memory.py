@@ -106,11 +106,17 @@ def run_memory(
                 "circuit built by run_memory itself; for external "
                 "circuits construct qec.window_matcher_for_circuit with "
                 "your own det_round labels")
-        from .surface_code import memory_z_detector_rounds
+        from .surface_code import memory_detector_rounds
         from .window_matcher import window_matcher_for_circuit
+        # max_defects maps onto the budget-free tier: the per-window
+        # exact DP stays at min(12, max_defects); anything past the DP
+        # budget goes to the greedy tier with the user's full budget
+        K_dp = min(12, max_defects)
         dec = window_matcher_for_circuit(
-            circuit, memory_z_detector_rounds(d, rounds), k_light=6,
-            greedy_fallback=32, chunk=min(4096, max(256, shots)))
+            circuit, memory_detector_rounds(d, rounds, basis=basis),
+            max_defects=K_dp, k_light=6 if K_dp > 6 else 0,
+            greedy_fallback=max_defects if max_defects > K_dp else 0,
+            chunk=min(4096, max(256, shots)))
     else:
         dec = decoder_for_circuit(circuit, kind=decoder,
                                   max_defects=max_defects)

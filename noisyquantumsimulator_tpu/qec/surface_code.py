@@ -426,12 +426,22 @@ def memory_z_detector_rounds(d: int, rounds: int,
     """Round label of every memory_z_circuit detector (for windowed
     decoding): detectors are emitted round-major, n_z per round, with the
     final boundary block labeled `rounds`."""
+    return memory_detector_rounds(d, rounds, basis="Z", layout=layout)
+
+
+def memory_detector_rounds(d: int, rounds: int, basis: str = "Z",
+                           layout: Optional[SurfaceCodeLayout] = None
+                           ) -> np.ndarray:
+    """Round label of every memory_{z,x}_circuit detector. Z-memory
+    detectors come in n_z-sized round blocks, X-memory in n_x-sized ones
+    (equal for the square rotated layout, but NOT in general — rect
+    surgery layouts differ)."""
     lay = layout if layout is not None else build_layout(d)
-    n_z = len(lay.z_anc)
-    return np.repeat(np.arange(rounds + 1, dtype=np.int32), n_z)
+    n_anc = len(lay.z_anc) if basis.upper() == "Z" else len(lay.x_anc)
+    return np.repeat(np.arange(rounds + 1, dtype=np.int32), n_anc)
 
 
 __all__ = ["SurfaceCodeLayout", "build_layout", "build_rect_layout",
            "memory_z_circuit", "memory_x_circuit", "code_metrics",
            "logical_error_rate", "teraquop_footprint",
-           "memory_z_detector_rounds"]
+           "memory_z_detector_rounds", "memory_detector_rounds"]

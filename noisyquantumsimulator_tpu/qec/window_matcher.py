@@ -108,7 +108,10 @@ class WindowMatcherTPU:
                 raise ValueError(f"greedy_capacity must be in [1, {chunk}]")
             self.greedy_capacity = C_greedy
         Kg = min(MG, n_detectors) if MG else 0   # greedy's slot width
-        MW = Kg if MG else max_defects           # unified output width
+        # unified output width: never below the exact tier's K (tiny
+        # circuits can clamp Kg below K, which would make padding
+        # negative)
+        MW = max(max_defects, Kg) if MG else max_defects
         n_rounds = int(det_round.max()) + 1
         R_END = n_rounds + 2  # commit-everything sentinel
 
