@@ -1,5 +1,12 @@
 // Native matching decoder for the QEC layer: exact MWPM (bitmask DP) for
-// up to 12 defects per shot, greedy + 2-opt beyond.
+// up to 12 defects per shot; beyond that, EXACT cluster decomposition:
+// a pair (i, j) with D(i,j) >= D(i,B) + D(j,B) can always be replaced by
+// two boundary matches at no extra cost, so connected components under the
+// strict adjacency D(i,j) < D(i,B) + D(j,B) match independently and the
+// union of per-component minimum matchings is a global minimum matching.
+// Components up to kClusterMaxExact defects get the exact DP; larger ones
+// (astronomically rare below threshold) fall back to greedy + 2-opt, and
+// the per-shot `exact` flag records whether every component was exact.
 //
 // Host-side counterpart of qec/decoders.MatchingDecoder: consumes the same
 // precomputed all-pairs shortest-path distance / observable-parity tables
@@ -31,10 +38,12 @@ struct Ctx {
 // Exact minimum-weight matching with boundary via bitmask DP, O(2^k k).
 // Every defect either pairs with another defect (direct path cost) or
 // with the boundary; this is exact MWPM on the complete defect graph.
-constexpr int kExactMaxDefects = 12;   // 4096 * 12 ops per shot
+constexpr int kExactMaxDefects = 12;    // direct-DP budget for whole shots
+constexpr int kClusterMaxExact = 20;    // per-component DP budget (2^20)
 
 int decode_exact(const Ctx& ctx, const std::vector<int>& defects,
-                 std::vector<double>& dp, std::vector<int8_t>& choice) {
+                 std::vector<double>& dp, std::vector<int8_t>& choice,
+                 double* out_cost = nullptr) {
     const int B = ctx.n_nodes - 1;
     const int k = static_cast<int>(defects.size());
     const int full = 1 << k;
@@ -54,6 +63,7 @@ int decode_exact(const Ctx& ctx, const std::vector<int>& defects,
         dp[S] = best;
         choice[S] = bj;
     }
+    if (out_cost) *out_cost += dp[full - 1];
     int par = 0;
     int S = full - 1;
     while (S) {
@@ -72,17 +82,11 @@ int decode_exact(const Ctx& ctx, const std::vector<int>& defects,
 
 // Greedy min-weight pairing over effective costs
 // (direct path vs both-to-boundary), then 2-opt improvement.
-int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det,
-               std::vector<double>& dp, std::vector<int8_t>& choice) {
+int decode_greedy(const Ctx& ctx, const std::vector<int>& defects,
+                  double* out_cost = nullptr) {
     const int B = ctx.n_nodes - 1;
-    std::vector<int> defects;
-    defects.reserve(16);
-    for (int i = 0; i < n_det; ++i)
-        if (det_row[i]) defects.push_back(i);
-
     const int k = static_cast<int>(defects.size());
     if (k == 0) return 0;
-    if (k <= kExactMaxDefects) return decode_exact(ctx, defects, dp, choice);
 
     // partner[i] = index into defects, or -1 for boundary
     std::vector<int> partner(k, -2);
@@ -154,18 +158,117 @@ int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det,
         int j = partner[i];
         if (j < 0) {
             par ^= ctx.P(defects[i], B);
+            if (out_cost) *out_cost += ctx.D(defects[i], B);
             counted[i] = 1;
         } else {
             double direct = ctx.D(defects[i], defects[j]);
             double via = ctx.D(defects[i], B) + ctx.D(defects[j], B);
-            if (direct <= via)
+            if (direct <= via) {
                 par ^= ctx.P(defects[i], defects[j]);
-            else
+                if (out_cost) *out_cost += direct;
+            } else {
                 par ^= ctx.P(defects[i], B) ^ ctx.P(defects[j], B);
+                if (out_cost) *out_cost += via;
+            }
             counted[i] = counted[j] = 1;
         }
     }
     return par;   // full observable bitmask (bit k = observable k)
+}
+
+struct ShotStats {
+    int32_t n_defects = 0;
+    int32_t max_cluster = 0;
+    uint8_t exact = 1;      // every component within its exact-DP budget
+    double cost = 0.0;      // total matching weight
+};
+
+// Modes for decode_shot.
+enum DecodeMode { kModeCluster = 0, kModeFullExact = 1, kModeGreedy = 2 };
+
+// Full decode of one shot: direct exact DP for small defect sets, exact
+// cluster decomposition beyond (per-component DP up to kClusterMaxExact,
+// greedy + 2-opt for oversize components).
+int decode_shot(const Ctx& ctx, const uint8_t* det_row, int n_det,
+                std::vector<double>& dp, std::vector<int8_t>& choice,
+                ShotStats* stats, int mode = kModeCluster) {
+    const int B = ctx.n_nodes - 1;
+    std::vector<int> defects;
+    defects.reserve(32);
+    for (int i = 0; i < n_det; ++i)
+        if (det_row[i]) defects.push_back(i);
+    const int k = static_cast<int>(defects.size());
+    double cost = 0.0;
+    double* cp = stats ? &cost : nullptr;
+    if (stats) { stats->n_defects = k; stats->max_cluster = k;
+                 stats->exact = 1; }
+    if (k == 0) { if (stats) stats->cost = 0.0; return 0; }
+
+    int par = 0;
+    if (mode == kModeGreedy) {
+        par = decode_greedy(ctx, defects, cp);
+        if (stats) { stats->exact = 0; stats->cost = cost; }
+        return par;
+    }
+    if (mode == kModeFullExact || k <= kExactMaxDefects) {
+        if (k <= kClusterMaxExact + 2) {   // hard cap: 2^22 DP
+            par = decode_exact(ctx, defects, dp, choice, cp);
+        } else {
+            par = decode_greedy(ctx, defects, cp);
+            if (stats) stats->exact = 0;
+        }
+        if (stats) stats->cost = cost;
+        return par;
+    }
+
+    // exact cluster decomposition: components under the strict adjacency
+    // D(i,j) < D(i,B) + D(j,B); any cross-component pair can be replaced
+    // by two boundary matches at no extra cost, so per-component minima
+    // compose to a global minimum matching.
+    std::vector<double> db(k);
+    for (int i = 0; i < k; ++i) db[i] = ctx.D(defects[i], B);
+    std::vector<int> comp(k, -1);
+    std::vector<int> stack;
+    std::vector<int> members;
+    int n_comp = 0;
+    int max_cluster = 0;
+    for (int s = 0; s < k; ++s) {
+        if (comp[s] >= 0) continue;
+        stack.assign(1, s);
+        comp[s] = n_comp;
+        members.clear();
+        while (!stack.empty()) {
+            int i = stack.back();
+            stack.pop_back();
+            members.push_back(i);
+            for (int j = 0; j < k; ++j) {
+                if (comp[j] >= 0) continue;
+                if (ctx.D(defects[i], defects[j]) < db[i] + db[j]) {
+                    comp[j] = n_comp;
+                    stack.push_back(j);
+                }
+            }
+        }
+        const int kc = static_cast<int>(members.size());
+        if (kc > max_cluster) max_cluster = kc;
+        std::vector<int> sub(kc);
+        for (int m = 0; m < kc; ++m) sub[m] = defects[members[m]];
+        if (kc <= kClusterMaxExact) {
+            par ^= decode_exact(ctx, sub, dp, choice, cp);
+        } else {
+            par ^= decode_greedy(ctx, sub, cp);
+            if (stats) stats->exact = 0;
+        }
+        ++n_comp;
+    }
+    if (stats) { stats->max_cluster = max_cluster; stats->cost = cost; }
+    return par;
+}
+
+// Back-compat wrapper (uf_decode_batch ABI).
+int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det,
+               std::vector<double>& dp, std::vector<int8_t>& choice) {
+    return decode_shot(ctx, det_row, n_det, dp, choice, nullptr);
 }
 
 }  // namespace
@@ -193,6 +296,32 @@ void uf_decode_batch(void* handle, const uint8_t* dets, int shots, int n_det,
     for (int s = 0; s < shots; ++s)
         out[s] = static_cast<uint8_t>(decode_one(
             ctx, dets + static_cast<size_t>(s) * n_det, n_det, dp, choice));
+}
+
+// Extended decode with per-shot diagnostics; any out_* pointer may be null.
+//   mode 0: exact cluster decomposition (production path)
+//   mode 1: whole-shot exact DP (validation oracle; shots beyond 22
+//           defects fall back to greedy and clear out_exact)
+//   mode 2: greedy + 2-opt only (the pre-cluster fallback, for ablations)
+//   out_exact[s] = 1 iff every component was decoded by the exact DP
+//   out_cost[s]  = total matching weight (for cross-mode validation)
+void uf_decode_batch_ex(void* handle, const uint8_t* dets, int shots,
+                        int n_det, int mode, uint8_t* out_par,
+                        int32_t* out_ndef, int32_t* out_maxcluster,
+                        uint8_t* out_exact, double* out_cost) {
+    const Ctx& ctx = *static_cast<Ctx*>(handle);
+    std::vector<double> dp;
+    std::vector<int8_t> choice;
+    ShotStats st;
+    for (int s = 0; s < shots; ++s) {
+        int par = decode_shot(ctx, dets + static_cast<size_t>(s) * n_det,
+                              n_det, dp, choice, &st, mode);
+        if (out_par) out_par[s] = static_cast<uint8_t>(par);
+        if (out_ndef) out_ndef[s] = st.n_defects;
+        if (out_maxcluster) out_maxcluster[s] = st.max_cluster;
+        if (out_exact) out_exact[s] = st.exact;
+        if (out_cost) out_cost[s] = st.cost;
+    }
 }
 
 }  // extern "C"

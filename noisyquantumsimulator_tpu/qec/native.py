@@ -116,6 +116,51 @@ class NativeMatchingDecoder:
         self.last_decode_seconds = time.perf_counter() - t0
         return out.astype(np.int64)
 
+    def decode_batch_ex(self, detectors: np.ndarray, mode: int = 0):
+        """Decode with per-shot diagnostics.
+
+        mode 0: exact cluster decomposition (production); 1: whole-shot
+        exact DP up to 22 defects (validation oracle); 2: greedy + 2-opt
+        only. Returns a dict with 'pred' (S,) int64, 'n_defects' (S,)
+        int32, 'max_cluster' (S,) int32, 'exact' (S,) bool (every
+        component within the exact-DP budget), 'cost' (S,) float64
+        total matching weight."""
+        lib = self._lib
+        if not hasattr(lib, "uf_decode_batch_ex"):
+            raise OSError("libufdecode.so lacks uf_decode_batch_ex; "
+                          "rebuild native/")
+        if not hasattr(lib.uf_decode_batch_ex, "_configured"):
+            lib.uf_decode_batch_ex.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_double)]
+            lib.uf_decode_batch_ex._configured = True
+        dets = np.ascontiguousarray(np.asarray(detectors), dtype=np.uint8)
+        shots, n_det = dets.shape
+        pred = np.zeros(shots, dtype=np.uint8)
+        ndef = np.zeros(shots, dtype=np.int32)
+        maxc = np.zeros(shots, dtype=np.int32)
+        exact = np.zeros(shots, dtype=np.uint8)
+        cost = np.zeros(shots, dtype=np.float64)
+        t0 = time.perf_counter()
+        lib.uf_decode_batch_ex(
+            self._handle,
+            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            shots, n_det, int(mode),
+            pred.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ndef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            maxc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            exact.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        self.last_decode_seconds = time.perf_counter() - t0
+        return {"pred": pred.astype(np.int64), "n_defects": ndef,
+                "max_cluster": maxc, "exact": exact.astype(bool),
+                "cost": cost}
+
 
 __all__ = ["NativeMatchingDecoder", "NativeErasurePeeler",
            "native_available", "osd0_batch_native"]

@@ -1017,3 +1017,62 @@ class TestShardedDE:
         assert np.isfinite(r.fun)
         _, metrics = obj(r.x[None])
         assert float(np.asarray(metrics["avg_fidelity"])[0]) > 0.9
+
+
+class TestNativeClusterExact:
+    """The native decoder's >12-defect path: exact cluster decomposition
+    (components under the strict adjacency D(i,j) < D(i,B) + D(j,B) match
+    independently; per-component exact DP). Validated against the
+    whole-shot exact DP oracle (mode=1) on matching COST — parity can
+    differ only between degenerate minimum matchings."""
+
+    def _heavy_setup(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        from noisyquantumsimulator_tpu.qec.decoders import (
+            decoder_for_circuit)
+        from noisyquantumsimulator_tpu.qec.native import native_available
+        if not native_available():
+            pytest.skip("native library not built")
+        c = memory_z_circuit(5, rounds=8, p=8e-3)
+        out = build_fast_sampler(c, 4096)(jax.random.PRNGKey(7))
+        dets = np.asarray(out["detectors"], np.uint8)
+        return decoder_for_circuit(c, "native"), dets
+
+    def test_cluster_cost_equals_whole_shot_exact(self):
+        nat, dets = self._heavy_setup()
+        nd = dets.sum(1)
+        sel = (nd > 12) & (nd <= 20)
+        assert sel.sum() > 100   # the regime the cluster path exists for
+        rc = nat.decode_batch_ex(dets[sel], mode=0)
+        ro = nat.decode_batch_ex(dets[sel], mode=1)
+        ex = rc["exact"] & ro["exact"]
+        assert ex.mean() > 0.98
+        np.testing.assert_allclose(rc["cost"][ex], ro["cost"][ex],
+                                   rtol=0, atol=1e-9)
+        # parity ties between degenerate matchings are rare
+        assert (rc["pred"][ex] == ro["pred"][ex]).mean() > 0.99
+
+    def test_cluster_beats_greedy(self):
+        nat, dets = self._heavy_setup()
+        nd = dets.sum(1)
+        sel = nd > 12
+        rc = nat.decode_batch_ex(dets[sel], mode=0)
+        rg = nat.decode_batch_ex(dets[sel], mode=2)
+        ex = rc["exact"]
+        # exact matching weight is a lower bound on greedy's
+        assert (rg["cost"][ex] >= rc["cost"][ex] - 1e-9).all()
+        # and greedy is strictly suboptimal on a real fraction
+        assert (rg["cost"][ex] > rc["cost"][ex] + 1e-9).mean() > 0.02
+
+    def test_small_shots_unchanged(self):
+        nat, dets = self._heavy_setup()
+        nd = dets.sum(1)
+        small = nd <= 12
+        rc = nat.decode_batch_ex(dets[small], mode=0)
+        pred_old = np.asarray(nat.decode_batch(dets[small])) & 1
+        assert rc["exact"].all()
+        assert ((rc["pred"] & 1) == pred_old).all()
