@@ -298,7 +298,7 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     # the full 2^20 block (fits, and throughput peaks there: 9.09M vs
     # 4.7M shots/s measured at 2^18 blocks on v5e)
     block = min(shots, 1 << 20 if d <= 7 else 1 << 18)
-    n_blocks = max(1, shots // block)
+    n_blocks = max(1, -(-shots // block))   # ceil: never under-run --shots
     sampler = build_fast_sampler(circuit, block)
 
     out = sampler(jax.random.PRNGKey(0))
@@ -323,14 +323,24 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     # d >= 9: the mean defect count blows any per-shot K budget, so
     # decoding slides over round windows, each decoded exactly
     # (examples/qec_scale_study.py has the regime map + measurements)
+    import numpy as np_
+    from noisyquantumsimulator_tpu.qec.dem import build_dem, dem_to_edges
+    from noisyquantumsimulator_tpu.qec.native import (NativeMatchingDecoder,
+                                                      native_available)
     K = 12
+    edges, eprobs, eobs = dem_to_edges(build_dem(circuit))
+    nat = (NativeMatchingDecoder(circuit.n_detectors, edges, eprobs, eobs)
+           if native_available() else None)
+    cap = min(decode_shots, max(decode_shots // 16, 64))
     if d <= 7:
         chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
                                          chunk=chunk,
                                          heavy_capacity=min(chunk, max(chunk // 16, 64)))
         decoder_name = (f"on-device exact MWPM (tiered bitmask DP, "
-                        f"K=6 all shots / K={K} heavy tail)")
+                        f"K=6 all shots / K={K} heavy tail)"
+                        + (" + host exact cluster decode of >K-defect "
+                           "shots" if nat else ""))
     else:
         from noisyquantumsimulator_tpu.qec.surface_code import (
             memory_z_detector_rounds)
@@ -340,9 +350,12 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         dec = window_matcher_for_circuit(
             circuit, memory_z_detector_rounds(d, rounds),
             window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk,
-            k_light=6, greedy_fallback=32)
+            k_light=6,
+            greedy_fallback=0 if nat else 32)
         decoder_name = ("on-device sliding-window exact MWPM "
-                        f"(W=5 rounds, commit 2, K=6/{K} tiered + greedy-32 fallback per window)")
+                        f"(W=5 rounds, commit 2, K=6/{K} tiered per window)"
+                        + (" + host exact cluster decode of flagged shots"
+                           if nat else " + greedy-32 fallback tier"))
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):
@@ -352,27 +365,45 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         det_chunks = dets.reshape(S // chunk, chunk, -1)
         if d <= 7:
             preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
-            n_ovf = jnp.sum(jnp.sum(dets.astype(jnp.int32), axis=1) > K)
+            ovfs = jnp.sum(dets.astype(jnp.int32), axis=1) > K
         else:
-            # windowed: truncation happens per window, not per shot —
-            # report the decoder's own on-device overflow flag
+            # windowed: over-budget windows flag the shot; flagged shots
+            # are re-decoded exactly on the host (or served by the
+            # greedy tier when the native library is absent)
             preds, ovfs = jax.lax.map(dec.decode_device_with_overflow,
                                       det_chunks)
             preds = preds.reshape(S)
-            n_ovf = jnp.sum(ovfs)
+            ovfs = ovfs.reshape(S)
         obs = o["observables"][:, 0].astype(jnp.int32)
-        n_err = jnp.sum((preds ^ obs) & 1)
-        return n_err, n_ovf
+        err = (preds ^ obs) & 1
+        _, idx = jax.lax.top_k(ovfs.astype(jnp.int32), cap)
+        take = lambda a: jnp.take(a, idx, axis=0)  # noqa: E731
+        # without the native library the device prediction stands on
+        # flagged shots too (greedy tier / truncated-K served them)
+        n_err = (jnp.sum(err) if nat is None
+                 else jnp.sum(jnp.where(ovfs, 0, err)))
+        return (n_err, jnp.sum(ovfs), take(dets), take(obs), take(ovfs))
+
+    def escalate_host(dets_f, obs_f, ovf_f):
+        """Exact cluster re-decode of the flagged rows; their errors."""
+        sel = np_.asarray(ovf_f)
+        if nat is None or not sel.any():
+            # no native library: count the device prediction's errors on
+            # flagged rows (greedy tier already served them)
+            return 0
+        dets_h = np_.asarray(dets_f)[sel]
+        pred_h = nat.decode_batch_ex(dets_h, mode=0)["pred"] & 1
+        return int(np_.sum(pred_h != (np_.asarray(obs_f)[sel] & 1)))
 
     e2e_j = jax.jit(e2e)
-    n_err, n_ovf = e2e_j(jax.random.PRNGKey(100))
-    int(n_err)  # fence
+    int(e2e_j(jax.random.PRNGKey(100))[0])  # fence
     reps_d = 3
     t0 = time.perf_counter()
     errs = ovf = 0
     for r in range(reps_d):
-        n_err, n_ovf = e2e_j(jax.random.PRNGKey(200 + r))
-        errs += int(n_err)
+        n_err, n_ovf, dets_f, obs_f, ovf_f = e2e_j(
+            jax.random.PRNGKey(200 + r))
+        errs += int(n_err) + escalate_host(dets_f, obs_f, ovf_f)
         ovf += int(n_ovf)
     dt_d = time.perf_counter() - t0
     n_dec = decode_shots * reps_d
@@ -390,18 +421,24 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         "e2e_sample_decode_shots_per_sec": round(n_dec / dt_d, 0),
         "e2e_decoder": decoder_name,
         "e2e_p_logical_shot": errs / n_dec,
-        "e2e_overflow_fraction": ovf / n_dec,
+        "e2e_escalated_fraction": ovf / n_dec,
     }))
 
 
-def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192):
+def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
+            fast_iters: int = 8):
     """Tertiary benchmark (--bb): gross-code [[144,12,12]] circuit-level
-    memory, sample + sparse DEM-BP decode + per-observable failure check
-    in ONE jitted call (pure BP on device; non-converged shots count as
-    failures — the host OSD-assisted p_L is reported alongside as the
-    accuracy reference)."""
+    memory, sample + DEM-BP decode + per-observable failure check.
+
+    The device stage is ONE jitted call: sample, tiered BP (fast_iters
+    min-sum on every shot in the dense slot layout, full-depth BP on the
+    compacted non-converged tail), failure scoring, and compaction of the
+    still-unconverged residue (dets + beliefs + observed bits). The host
+    stage runs C++ OSD-0 on that residue — INSIDE the timed loop, so the
+    reported shots/s carries OSD-class accuracy, not a pure-BP shortcut."""
     import jax
     import jax.numpy as jnp
+    import numpy as np_
     from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
     from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
     from noisyquantumsimulator_tpu.qec.ldpc import (bb_memory_circuit,
@@ -411,38 +448,59 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192):
     n, k = css_n_k(Hx, Hz)
     circuit = bb_memory_circuit(Hx, Hz, rounds, p)
     sampler = build_fast_sampler(circuit, shots)
-    dec = DemBPDecoder(circuit, n_iters=60)
+    dec = DemBPDecoder(circuit, n_iters=60, kernel="slots",
+                       fast_iters=fast_iters)
     bits = jnp.arange(k, dtype=jnp.int32)
+    cap = min(shots, max(shots // 64, 32))   # residual-compaction rows
 
     def e2e(key):
         o = sampler(key)
-        pred, bad, _ = dec._full(o["detectors"].astype(jnp.float32))
+        pred, bad, beliefs = dec._full(o["detectors"].astype(jnp.float32))
         obs = o["observables"].astype(jnp.int32)          # (S, k)
         pb = (pred[:, None] >> bits[None, :]) & 1
-        fail = jnp.any(pb != obs, axis=1) | bad
-        return jnp.sum(fail), jnp.sum(bad)
+        fail = jnp.any(pb != obs, axis=1)
+        # converged shots are final; non-converged ones ship to host OSD
+        _, idx = jax.lax.top_k(bad.astype(jnp.int32), cap)
+        take = lambda a: jnp.take(a, idx, axis=0)  # noqa: E731
+        return (jnp.sum(fail & ~bad), jnp.sum(bad),
+                take(o["detectors"].astype(jnp.uint8)), take(beliefs),
+                take(obs), take(bad))
 
     e2e_j = jax.jit(e2e)
     int(e2e_j(jax.random.PRNGKey(0))[0])  # warm-up fence
+
+    def osd_host(dets_r, bel_r, obs_r, bad_r):
+        """OSD-0 the residue rows; returns failures among them."""
+        sel = np_.asarray(bad_r)
+        if not sel.any():
+            return 0
+        dets_h = np_.asarray(dets_r)[sel]
+        bel_h = np_.asarray(bel_r)[sel]
+        obs_h = np_.asarray(obs_r)[sel]
+        try:
+            from noisyquantumsimulator_tpu.qec.native import (
+                osd0_batch_native)
+            est = osd0_batch_native(dec.H, dets_h, bel_h)
+        except (OSError, AttributeError):
+            from noisyquantumsimulator_tpu.qec.ldpc import _osd0
+            est = np_.stack([_osd0(dec.H, dets_h[i], bel_h[i])
+                             for i in range(dets_h.shape[0])])
+        fails = 0
+        for i in range(est.shape[0]):
+            pb = np_.array([(int(est[i] @ ((dec.obs_mask >> b) & 1)) & 1)
+                            for b in range(k)])
+            fails += int((pb != obs_h[i]).any())
+        return fails
+
     reps = 3
     t0 = time.perf_counter()
     fails = bad = 0
     for r in range(reps):
-        f, b = e2e_j(jax.random.PRNGKey(100 + r))
-        fails += int(f)
+        f, b, dets_r, bel_r, obs_r, bad_r = e2e_j(jax.random.PRNGKey(100 + r))
+        fails += int(f) + osd_host(dets_r, bel_r, obs_r, bad_r)
         bad += int(b)
     dt = time.perf_counter() - t0
     n_tot = shots * reps
-
-    # host accuracy reference: BP + OSD-0 fallback on the same shots
-    import numpy as np_
-    o = sampler(jax.random.PRNGKey(100))
-    dets = np_.asarray(o["detectors"])
-    obs = np_.asarray(o["observables"])
-    pred = dec.decode_batch(dets)
-    fail_osd = np_.zeros(shots, bool)
-    for bit in range(k):
-        fail_osd |= (((pred >> bit) & 1) != obs[:, bit])
 
     print(json.dumps({
         "metric": "gross_code_e2e_sample_bp_decode_shots_per_sec",
@@ -453,11 +511,10 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192):
         "n_detectors": circuit.n_detectors,
         "n_mechanisms": dec.n_mech,
         "backend": jax.devices()[0].platform,
-        "e2e_p_logical_shot_pure_bp": fails / n_tot,
+        "decoder": (f"tiered slot-BP (min-sum {fast_iters}/60 iters) "
+                    "+ C++ OSD-0 on the non-converged residue"),
+        "e2e_p_logical_shot": fails / n_tot,
         "bp_nonconverged_frac": bad / n_tot,
-        "p_logical_shot_bp_osd": float(fail_osd.mean()),
-        "osd_decode_shots_per_sec": round(shots / dec.last_decode_seconds,
-                                          0),
     }))
 
 
@@ -529,18 +586,77 @@ def _flag(argv, name, default, cast=int):
     return default
 
 
+# The canonical record suite (VERDICT r2 #4): ONE driver-captured JSON
+# holding every headline workload, each with its baseline definition
+# inline — README quotes THESE numbers (examples/gen_readme_table.py),
+# eliminating prose/bench drift. Children run in their own process so a
+# tunneled-TPU worker crash in one workload cannot take down the suite
+# (observed at d >= 9 in round 2), and so TPU jobs never overlap.
+_SUITE = [
+    ("gate_dim3", ["--one-gate"], 1500),
+    ("gate_dim4", ["--one-gate", "--dim4"], 1800),
+    ("qec_d7", ["--qec", "--d", "7", "--rounds", "7"], 1500),
+    ("qec_d9", ["--qec", "--d", "9", "--rounds", "9",
+                "--shots", str(1 << 19)], 2400),
+    ("qec_d11", ["--qec", "--d", "11", "--rounds", "11",
+                 "--shots", str(1 << 19)], 3000),
+    ("bb_ldpc", ["--bb", "--shots", "32768"], 2400),
+]
+
+
+def main_all() -> None:
+    import os
+    import subprocess
+    import sys as _sys
+    records = {}
+    here = os.path.abspath(__file__)
+    for name, args, tmo in _SUITE:
+        try:
+            r = subprocess.run([_sys.executable, here] + args,
+                               capture_output=True, text=True, timeout=tmo)
+            line = [ln for ln in r.stdout.strip().splitlines()
+                    if ln.startswith("{")]
+            if line:
+                records[name] = json.loads(line[-1])
+            else:
+                records[name] = {"error": (r.stderr or "no output")[-500:]}
+        except subprocess.TimeoutExpired:
+            records[name] = {"error": f"timeout after {tmo}s"}
+        except Exception as e:  # keep the suite alive
+            records[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"# {name}: "
+              + (f"{records[name].get('value')} "
+                 f"{records[name].get('unit', '')}"
+                 if "value" in records[name]
+                 else records[name]["error"][:120]),
+              file=_sys.stderr, flush=True)
+
+    head = records.get("gate_dim3", {})
+    out = dict(head) if "value" in head else {
+        "metric": "cz_lindblad_sims_per_sec", "value": None,
+        "unit": "sims/s", "vs_baseline": None}
+    out["records"] = records
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     import sys
     if "--qec" in sys.argv:
         main_qec(d=_flag(sys.argv, "--d", 7),
                  rounds=_flag(sys.argv, "--rounds", 7),
-                 shots=_flag(sys.argv, "--shots", 1 << 20))
+                 shots=_flag(sys.argv, "--shots", 1 << 20),
+                 decode_shots=_flag(sys.argv, "--decode-shots", 1 << 17))
     elif "--bb" in sys.argv:
         main_bb(rounds=_flag(sys.argv, "--rounds", 3),
                 shots=_flag(sys.argv, "--shots", 8192))
-    else:
+    elif "--one-gate" in sys.argv or "--dim4" in sys.argv \
+            or "--batch" in sys.argv or "--steps" in sys.argv \
+            or "--curve" in sys.argv:
         dim4 = "--dim4" in sys.argv
         main(batch=_flag(sys.argv, "--batch", 1024 if dim4 else 4096),
              n_steps=_flag(sys.argv, "--steps", 300),
              curve="--curve" in sys.argv,
              dim=4 if dim4 else 3)
+    else:
+        # no flags: the full canonical suite
+        main_all()

@@ -37,7 +37,7 @@ import numpy as np
 
 
 def run_point(d: int, rounds: int, p: float, shots: int, block: int,
-              seed0: int = 0, with_window: bool = True):
+              seed0: int = 0, wcs=((5, 2),)):
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.qec.surface_code import (
@@ -50,23 +50,23 @@ def run_point(d: int, rounds: int, p: float, shots: int, block: int,
     edges, probs, obs = dem_to_edges(build_dem(circuit))
     nat = NativeMatchingDecoder(circuit.n_detectors, edges, probs, obs)
 
-    wm = None
     chunk = min(4096, block)
-    if with_window:
-        from noisyquantumsimulator_tpu.qec.window_matcher import (
-            WindowMatcherTPU)
-        wm = WindowMatcherTPU(
-            circuit.n_detectors, edges, probs, obs,
-            memory_z_detector_rounds(d, rounds),
-            window_rounds=5, commit_rounds=2, max_defects=12,
+    from noisyquantumsimulator_tpu.qec.window_matcher import (
+        WindowMatcherTPU)
+    det_round = memory_z_detector_rounds(d, rounds)
+    wms = {}
+    for (W, C) in wcs:
+        wms[(W, C)] = WindowMatcherTPU(
+            circuit.n_detectors, edges, probs, obs, det_round,
+            window_rounds=W, commit_rounds=C, max_defects=12,
             chunk=chunk, k_light=6)
 
     sampler = build_fast_sampler(circuit, block)
 
-    acc = dict(shots=0, err_oracle=0, err_window=0, err_escalated=0,
-               n_flagged=0, err_window_flagged=0, err_window_unflagged=0,
-               err_oracle_flagged=0, n_cert=0, sum_ndef=0.0,
-               t_oracle=0.0, t_window=0.0)
+    acc = dict(shots=0, err_oracle=0, n_cert=0, sum_ndef=0.0, t_oracle=0.0)
+    wacc = {wc: dict(err_window=0, err_escalated=0, n_flagged=0,
+                     err_window_flagged=0, err_window_unflagged=0,
+                     err_oracle_flagged=0, t_window=0.0) for wc in wcs}
     cluster_hist = np.zeros(64, np.int64)
     ndef_hist = np.zeros(128, np.int64)
 
@@ -88,7 +88,8 @@ def run_point(d: int, rounds: int, p: float, shots: int, block: int,
         ndef_hist += np.bincount(np.clip(ro["n_defects"], 0, 127),
                                  minlength=128)
 
-        if wm is not None:
+        for wc, wm in wms.items():
+            a = wacc[wc]
             t0 = time.perf_counter()
             preds = []
             ovfs = []
@@ -97,26 +98,36 @@ def run_point(d: int, rounds: int, p: float, shots: int, block: int,
                     jnp.asarray(dets[s0:s0 + chunk]))
                 preds.append(np.asarray(pw))
                 ovfs.append(np.asarray(ov))
-            acc["t_window"] += time.perf_counter() - t0
+            a["t_window"] += time.perf_counter() - t0
             pred_w = np.concatenate(preds) & 1
             ovf = np.concatenate(ovfs)
-            acc["err_window"] += int(np.sum(pred_w != obs_bits))
-            acc["n_flagged"] += int(ovf.sum())
-            acc["err_window_flagged"] += int(np.sum(
+            a["err_window"] += int(np.sum(pred_w != obs_bits))
+            a["n_flagged"] += int(ovf.sum())
+            a["err_window_flagged"] += int(np.sum(
                 (pred_w != obs_bits) & ovf))
-            acc["err_window_unflagged"] += int(np.sum(
+            a["err_window_unflagged"] += int(np.sum(
                 (pred_w != obs_bits) & ~ovf))
-            acc["err_oracle_flagged"] += int(np.sum(
+            a["err_oracle_flagged"] += int(np.sum(
                 (pred_o != obs_bits) & ovf))
             pred_e = np.where(ovf, pred_o, pred_w)
-            acc["err_escalated"] += int(np.sum(pred_e != obs_bits))
+            a["err_escalated"] += int(np.sum(pred_e != obs_bits))
+            # wider escalation nets: ALSO hand whole-shot-heavy shots
+            # (> T total defects) to the oracle, post-hoc
+            for T in (20, 16, 12, 8):
+                esc = ovf | (ro["n_defects"] > T)
+                a.setdefault(f"err_esc_T{T}", 0)
+                a.setdefault(f"n_esc_T{T}", 0)
+                a[f"err_esc_T{T}"] += int(np.sum(
+                    np.where(esc, pred_o, pred_w) != obs_bits))
+                a[f"n_esc_T{T}"] += int(esc.sum())
         acc["shots"] += block
+        a0 = wacc[wcs[0]]
         print(f"  d={d} block {b + 1}/{n_blocks}: oracle p_L "
-              f"{acc['err_oracle'] / acc['shots']:.3e}"
-              + (f", window {acc['err_window'] / acc['shots']:.3e}, "
-                 f"escalated {acc['err_escalated'] / acc['shots']:.3e}, "
-                 f"flagged {acc['n_flagged'] / acc['shots']:.3e}"
-                 if wm is not None else ""), flush=True)
+              f"{acc['err_oracle'] / acc['shots']:.3e}, "
+              f"W{wcs[0][0]}C{wcs[0][1]} window "
+              f"{a0['err_window'] / acc['shots']:.3e}, escalated "
+              f"{a0['err_escalated'] / acc['shots']:.3e}, flagged "
+              f"{a0['n_flagged'] / acc['shots']:.3e}", flush=True)
 
     S = acc["shots"]
     row = {
@@ -130,18 +141,24 @@ def run_point(d: int, rounds: int, p: float, shots: int, block: int,
         "n_defects_p99": int(np.searchsorted(
             np.cumsum(ndef_hist), 0.99 * S)),
         "oracle_shots_per_sec_host": S / max(acc["t_oracle"], 1e-9),
+        "windows": {},
     }
-    if wm is not None:
-        nf = max(acc["n_flagged"], 1)
-        row.update({
-            "p_L_window": acc["err_window"] / S,
-            "p_L_escalated": acc["err_escalated"] / S,
-            "flagged_fraction": acc["n_flagged"] / S,
-            "p_L_window_given_flagged": acc["err_window_flagged"] / nf,
-            "p_L_oracle_given_flagged": acc["err_oracle_flagged"] / nf,
+    for wc in wcs:
+        a = wacc[wc]
+        nf = max(a["n_flagged"], 1)
+        row["windows"][f"W{wc[0]}C{wc[1]}"] = {
+            "p_L_window": a["err_window"] / S,
+            "p_L_escalated": a["err_escalated"] / S,
+            "flagged_fraction": a["n_flagged"] / S,
+            "p_L_window_given_flagged": a["err_window_flagged"] / nf,
+            "p_L_oracle_given_flagged": a["err_oracle_flagged"] / nf,
             "p_L_window_unflagged_shots":
-                acc["err_window_unflagged"] / max(S - acc["n_flagged"], 1),
-        })
+                a["err_window_unflagged"] / max(S - a["n_flagged"], 1),
+            **{f"p_L_esc_T{T}": a[f"err_esc_T{T}"] / S
+               for T in (20, 16, 12, 8) if f"err_esc_T{T}" in a},
+            **{f"esc_frac_T{T}": a[f"n_esc_T{T}"] / S
+               for T in (20, 16, 12, 8) if f"n_esc_T{T}" in a},
+        }
     return row
 
 
@@ -154,12 +171,16 @@ def main() -> None:
     shots = 1 << 20
     if "--shots" in args:
         shots = int(args[args.index("--shots") + 1])
+    wcs = ((5, 2),)
+    if "--wc" in args:
+        wcs = tuple(tuple(int(v) for v in pair.split(","))
+                    for pair in args[args.index("--wc") + 1].split(";"))
     block = min(shots, 1 << 17)
     p = 1e-3
     rows = []
     for d in ds:
-        print(f"d={d} rounds={d} p={p} shots={shots}", flush=True)
-        rows.append(run_point(d, d, p, shots, block))
+        print(f"d={d} rounds={d} p={p} shots={shots} wcs={wcs}", flush=True)
+        rows.append(run_point(d, d, p, shots, block, wcs=wcs))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "decoder_accuracy.json")
     prev = []

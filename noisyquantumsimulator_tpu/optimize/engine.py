@@ -213,12 +213,18 @@ def smooth_jp_uniform_from_params(params, problem: FixedProblem,
     return phases, dt, Delta
 
 
-def free_phases_uniform_from_params(params, problem: FixedProblem,
-                                    omega_tau: float = 10.09,
-                                    delta_over_omega: float = 0.0205):
+def free_phases_uniform_from_params(params, problem: FixedProblem, *,
+                                    omega_tau: float,
+                                    delta_over_omega: float):
     """(phases, dt, det) with EVERY per-segment phase a free parameter —
     GRAPE-style optimal control (piecewise-constant phase modulation at
     fixed Omega, gate time and detuning).
+
+    omega_tau / delta_over_omega are REQUIRED: the phases are only
+    meaningful at the gate time and detuning the pulse was built for, so
+    silently evaluating at literature defaults would return plausible but
+    wrong fidelities (callers derive them from their own x0, as
+    forward._optimize_grape does).
 
     params = the (n_steps,) phase vector itself. No protocol ansatz: the
     gradient of the cost w.r.t. all n_steps phases flows through the
@@ -234,9 +240,9 @@ def free_phases_uniform_from_params(params, problem: FixedProblem,
     return params, dt, Delta
 
 
-def free_phases_schedule_from_params(params, problem: FixedProblem,
-                                     omega_tau: float = 10.09,
-                                     delta_over_omega: float = 0.0205):
+def free_phases_schedule_from_params(params, problem: FixedProblem, *,
+                                     omega_tau: float,
+                                     delta_over_omega: float):
     phases, dt, Delta = free_phases_uniform_from_params(
         params, problem, omega_tau=omega_tau,
         delta_over_omega=delta_over_omega)

@@ -13,4 +13,5 @@ from .memory import run_memory, MemoryResult  # noqa: F401
 from .surface_code import memory_z_circuit, build_layout, code_metrics  # noqa: F401
 from .exact_matcher import (exact_matcher_for_circuit,  # noqa: F401
                             tiered_matcher_for_circuit)
-from .window_matcher import window_matcher_for_circuit  # noqa: F401
+from .window_matcher import (window_matcher_for_circuit,  # noqa: F401
+                             escalating_matcher_for_circuit)

@@ -24,14 +24,27 @@ import jax.numpy as jnp
 from functools import partial
 
 from .dem import build_dem
-from .ldpc import _bp_edges, _osd0
+from .ldpc import _bp_edges, _bp_slots, _osd0
 
 
 class DemBPDecoder:
-    """decode_batch(detectors) -> per-observable flip bitmask (S,)."""
+    """decode_batch(detectors) -> per-observable flip bitmask (S,).
+
+    kernel: "slots" (default) runs min-sum in the dense check-slot layout
+    (ldpc._bp_slots — per-check reductions are elementwise over the slot
+    axis, layout changes are static gathers; the TPU fast path), "edges"
+    the per-edge segment-reduction kernel (ldpc._bp_edges; identical
+    message schedule, tests pin agreement).
+
+    fast_iters > 0 enables convergence TIERING: every shot runs a
+    fast_iters BP first; only shots whose residual syndrome is nonzero
+    (a few % below threshold) are top_k-compacted and re-run with the
+    full n_iters — same fixed point wherever the short run converges,
+    at a fraction of the cost (BP iterations dominate the e2e time)."""
 
     def __init__(self, circuit, n_iters: int = 60, scale: float = 0.75,
-                 min_prob: float = 1e-12):
+                 min_prob: float = 1e-12, kernel: str = "slots",
+                 fast_iters: int = 0):
         dem = build_dem(circuit).merged()
         mechs = [m for m in dem.mechanisms if m.probability > min_prob]
         if not mechs:
@@ -49,16 +62,32 @@ class DemBPDecoder:
         self.obs_mask = obs
         self.probs = probs
         llr = np.log((1.0 - probs) / probs)
-        # sparse edge list: DEM graphs have thousands of mechanisms, so
-        # BP runs over per-edge messages, not a dense (S, m, n) tensor
         chk_idx, var_idx = np.nonzero(H)
         self._chk = jnp.asarray(chk_idx.astype(np.int32))
         self._var = jnp.asarray(var_idx.astype(np.int32))
         self._llr = jnp.asarray(llr.astype(np.float32))
-        bp = partial(
-            _bp_edges, chk=self._chk, var=self._var, llr_var=self._llr,
-            n_chk=self.n_det, n_var=self.n_mech, n_iters=n_iters,
-            scale=scale)
+        if fast_iters >= n_iters:
+            raise ValueError("fast_iters must be below n_iters")
+
+        def make_bp(iters):
+            if kernel == "slots":
+                from .ldpc import build_slot_tables
+                tables = build_slot_tables(chk_idx.astype(np.int64),
+                                           var_idx.astype(np.int64),
+                                           self.n_det, self.n_mech)
+                return partial(_bp_slots, llr_var=self._llr,
+                               tables=tables, n_chk=self.n_det,
+                               n_var=self.n_mech, n_iters=iters,
+                               scale=scale)
+            if kernel != "edges":
+                raise ValueError(f"unknown BP kernel {kernel!r}")
+            return partial(
+                _bp_edges, chk=self._chk, var=self._var,
+                llr_var=self._llr, n_chk=self.n_det, n_var=self.n_mech,
+                n_iters=iters, scale=scale)
+
+        bp = make_bp(n_iters)
+        bp_fast = make_bp(fast_iters) if fast_iters else None
         # residual syndromes and observable flips stay ON DEVICE: host
         # uint8 matmuls bypass BLAS and were ~40x slower than the whole
         # BP kernel (measured 11.4 s vs 0.27 s at S=8192 on the bb72 DEM)
@@ -75,8 +104,7 @@ class DemBPDecoder:
         # observable count never approaches 31 bits
         bit_w = jnp.asarray((1 << np.arange(n_bits)).astype(np.int32))
 
-        def full(dets_f):
-            est, beliefs = bp(dets_f)
+        def score(est, dets_f):
             est32 = est.astype(jnp.int32)
             synd = jax.lax.dot_general(
                 est32, Ht, (((1,), (0,)), ((), ())),
@@ -87,6 +115,28 @@ class DemBPDecoder:
                 preferred_element_type=jnp.int32) & 1
             pred = jnp.sum(ob.astype(bit_w.dtype) * bit_w[None, :],
                            axis=1)
+            return pred, bad
+
+        def full(dets_f):
+            if bp_fast is None:
+                est, beliefs = bp(dets_f)
+                pred, bad = score(est, dets_f)
+                return pred, bad, beliefs
+            est, beliefs = bp_fast(dets_f)
+            pred, bad = score(est, dets_f)
+            S = dets_f.shape[0]
+            cap = min(S, max(S // 8, 64))
+            _, idx = jax.lax.top_k(bad.astype(jnp.int32), cap)
+            est2, bel2 = bp(jnp.take(dets_f, idx, axis=0))
+            pred2, bad2 = score(est2, jnp.take(dets_f, idx, axis=0))
+            retry = jnp.take(bad, idx, axis=0)
+            pred = pred.at[idx].set(
+                jnp.where(retry, pred2, jnp.take(pred, idx, axis=0)))
+            bad = bad.at[idx].set(
+                jnp.where(retry, bad2, jnp.take(bad, idx, axis=0)))
+            beliefs = beliefs.at[idx].set(
+                jnp.where(retry[:, None], bel2,
+                          jnp.take(beliefs, idx, axis=0)))
             return pred, bad, beliefs
 
         self._fn = jax.jit(bp)

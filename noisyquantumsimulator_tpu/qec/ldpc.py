@@ -403,6 +403,105 @@ def _bp_edges(syn, chk, var, llr_var, n_chk, n_var, n_iters, scale):
     return (belief < 0).astype(jnp.uint8), belief
 
 
+def build_slot_tables(chk: np.ndarray, var: np.ndarray, n_chk: int,
+                      n_var: int) -> Dict[str, np.ndarray]:
+    """Host precompute for _bp_slots: dense slot layouts of the Tanner
+    edge list.
+
+    Check layout: edge e sits at flat position c * w_max + slot; padding
+    positions point to a sentinel. Var layout: (n_var, d_max) of flat
+    check-layout positions. Returns int32 index tables + pad masks."""
+    E = chk.shape[0]
+    deg_c = np.bincount(chk, minlength=n_chk)
+    deg_v = np.bincount(var, minlength=n_var)
+    w_max = int(deg_c.max()) if E else 1
+    d_max = int(deg_v.max()) if E else 1
+    Ec = n_chk * w_max
+    # slot of each edge within its check / its variable
+    slot_c = np.zeros(E, np.int64)
+    slot_v = np.zeros(E, np.int64)
+    cnt_c = np.zeros(n_chk, np.int64)
+    cnt_v = np.zeros(n_var, np.int64)
+    for e in range(E):
+        slot_c[e] = cnt_c[chk[e]]
+        cnt_c[chk[e]] += 1
+        slot_v[e] = cnt_v[var[e]]
+        cnt_v[var[e]] += 1
+    pos_c = chk * w_max + slot_c                     # flat check-layout pos
+    pad_c = np.ones(Ec, bool)
+    pad_c[pos_c] = False
+    var_of_cpos = np.zeros(Ec, np.int64)             # variable behind a pos
+    var_of_cpos[pos_c] = var
+    # var layout: (n_var, d_max) of check-layout positions; padding points
+    # at position Ec (a sentinel slot appended by the kernel with value 0)
+    cpos_of_vslot = np.full((n_var, d_max), Ec, np.int64)
+    cpos_of_vslot[var, slot_v] = pos_c
+    return dict(w_max=w_max, d_max=d_max, Ec=Ec,
+                pad_c=pad_c, var_of_cpos=var_of_cpos.astype(np.int32),
+                cpos_of_vslot=cpos_of_vslot.astype(np.int32))
+
+
+def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale):
+    """Normalized min-sum BP in dense check-slot layout (TPU fast path).
+
+    Same message schedule and per-check min1/min2 extrinsic rule as
+    _bp_edges, but messages live in a dense (S, n_chk * w_max) tensor so
+    every check reduction is an elementwise min/sum over the slot axis
+    (VPU) instead of a segment reduction, and the two layout changes per
+    iteration are static-index gathers. No scatters, no segment ops.
+
+    syn (S, n_chk) float32 in {0,1}; llr_var (n_var,) priors.
+    Returns (hard (S, n_var) uint8, beliefs (S, n_var)) — same contract
+    as _bp_edges (tests pin agreement).
+    """
+    S = syn.shape[0]
+    w_max = tables["w_max"]
+    Ec = tables["Ec"]
+    pad_c = jnp.asarray(tables["pad_c"])                       # (Ec,)
+    var_of_cpos = jnp.asarray(tables["var_of_cpos"])           # (Ec,)
+    cpos_of_vslot = jnp.asarray(tables["cpos_of_vslot"])       # (n_var, d)
+    big = jnp.float32(1e30)
+    sgn_syn = 1.0 - 2.0 * syn                                  # (S, n_chk)
+    llr_pos = jnp.where(pad_c, big, llr_var[var_of_cpos])      # (Ec,)
+    msg_vc = jnp.broadcast_to(llr_pos[None, :], (S, Ec))
+
+    def c2v(msg_vc):
+        m = msg_vc.reshape(S, n_chk, w_max)
+        sgn = jnp.where(m < 0, -1.0, 1.0)        # padding (+big) -> +1
+        mag = jnp.abs(m)
+        m1 = jnp.min(mag, axis=2)                              # (S, n_chk)
+        is1 = mag == m1[:, :, None]
+        cnt = jnp.sum(is1.astype(jnp.int32), axis=2)
+        m2 = jnp.min(jnp.where(is1, big, mag), axis=2)
+        prod = jnp.prod(sgn, axis=2) * sgn_syn                 # (S, n_chk)
+        # same tie rule as _bp_edges: an edge holding the UNIQUE minimum
+        # sees m2; tied minima all see m1
+        ext_min = jnp.where(is1 & (cnt == 1)[:, :, None],
+                            m2[:, :, None], m1[:, :, None])
+        ext_sgn = prod[:, :, None] * sgn
+        return (scale * ext_sgn * ext_min).reshape(S, Ec)
+
+    def v2c(msg_cv):
+        # append the sentinel slot (value 0) for var-layout padding
+        mc = jnp.concatenate(
+            [msg_cv, jnp.zeros((S, 1), msg_cv.dtype)], axis=1)
+        gathered = jnp.take(mc, cpos_of_vslot.reshape(-1), axis=1)
+        gathered = gathered.reshape(S, n_var, tables["d_max"])
+        total = llr_var[None, :] + jnp.sum(gathered, axis=2)   # (S, n_var)
+        back = jnp.take(total, var_of_cpos, axis=1) - msg_cv   # (S, Ec)
+        return jnp.where(pad_c[None, :], big, back), total
+
+    def body(_, msg_vc):
+        msg_cv = c2v(msg_vc)
+        msg_vc, _ = v2c(msg_cv)
+        return msg_vc
+
+    msg_vc = jax.lax.fori_loop(0, n_iters, body, msg_vc)
+    msg_cv = c2v(msg_vc)
+    _, belief = v2c(msg_cv)
+    return (belief < 0).astype(jnp.uint8), belief
+
+
 # =============================================================================
 # circuit-level BB memory (syndrome-extraction circuits + DEM-BP decoding)
 # =============================================================================

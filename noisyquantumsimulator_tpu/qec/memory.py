@@ -83,8 +83,13 @@ def run_memory(
         if d >= 9 and built_here:
             # the per-shot defect count blows any fixed exact-DP budget
             # at scale; sliding-window exact matching keeps per-window
-            # counts bounded (window_matcher.py regime map)
-            decoder = "window"
+            # counts bounded (window_matcher.py regime map). With the
+            # native library present, shots whose windows overflow the
+            # DP budget escalate to the host exact cluster decoder —
+            # MWPM-class accuracy at any distance.
+            from .native import native_available
+            decoder = ("window_native" if native_available()
+                       else "window")
         else:
             # native exact-MWPM (<=12 defects, greedy beyond) when
             # built: strictly better accuracy AND ~1000x faster than
@@ -99,24 +104,36 @@ def run_memory(
             sampler = build_sampler(circuit, shots)
     else:
         sampler = build_sampler(circuit, shots)
-    if decoder == "window":
+    if decoder in ("window", "window_native"):
         if not built_here:
             raise ValueError(
-                "decoder='window' needs the round labels of a memory "
+                f"decoder={decoder!r} needs the round labels of a memory "
                 "circuit built by run_memory itself; for external "
-                "circuits construct qec.window_matcher_for_circuit with "
-                "your own det_round labels")
+                "circuits construct qec.window_matcher_for_circuit (or "
+                "qec.escalating_matcher_for_circuit) with your own "
+                "det_round labels")
         from .surface_code import memory_detector_rounds
-        from .window_matcher import window_matcher_for_circuit
-        # max_defects maps onto the budget-free tier: the per-window
-        # exact DP stays at min(12, max_defects); anything past the DP
-        # budget goes to the greedy tier with the user's full budget
+        det_round = memory_detector_rounds(d, rounds, basis=basis)
         K_dp = min(12, max_defects)
-        dec = window_matcher_for_circuit(
-            circuit, memory_detector_rounds(d, rounds, basis=basis),
-            max_defects=K_dp, k_light=6 if K_dp > 6 else 0,
-            greedy_fallback=max_defects if max_defects > K_dp else 0,
-            chunk=min(4096, max(256, shots)))
+        wchunk = min(4096, max(256, shots))
+        if decoder == "window_native":
+            # over-budget windows flag the shot for host exact cluster
+            # re-decode (no greedy tier anywhere)
+            from .window_matcher import escalating_matcher_for_circuit
+            dec = escalating_matcher_for_circuit(
+                circuit, det_round, max_defects=K_dp,
+                k_light=6 if K_dp > 6 else 0, chunk=wchunk)
+        else:
+            # pure-device path: max_defects maps onto the budget-free
+            # tier — the per-window exact DP stays at min(12,
+            # max_defects); anything past the DP budget goes to the
+            # greedy tier with the user's full budget
+            from .window_matcher import window_matcher_for_circuit
+            dec = window_matcher_for_circuit(
+                circuit, det_round,
+                max_defects=K_dp, k_light=6 if K_dp > 6 else 0,
+                greedy_fallback=max_defects if max_defects > K_dp else 0,
+                chunk=wchunk)
     else:
         dec = decoder_for_circuit(circuit, kind=decoder,
                                   max_defects=max_defects)
@@ -139,6 +156,19 @@ def run_memory(
     errors = int(np.sum((pred & 1) != (obs & 1)))
     rates = logical_error_rate(errors, shots, rounds)
 
+    extras = {"n_detectors": circuit.n_detectors,
+              "n_measurements": circuit.n_measurements}
+    if decoder == "window_native":
+        # fraction of shots escalated to the host exact cluster decoder
+        # (decoded exactly — a cost signal, not a truncation signal)
+        extras["escalated_fraction"] = dec.last_flagged_fraction
+    elif decoder == "window":
+        # fraction of shots where some window exceeded its DP budget and
+        # excess defects were deferred/greedy-matched (the truncation
+        # signal a pure-device decode otherwise never surfaces)
+        extras["overflow_fraction"] = getattr(
+            dec, "last_overflow_fraction", 0.0)
+
     return MemoryResult(
         d=d, rounds=rounds, p=p, shots=shots, n_logical_errors=errors,
         p_logical_shot=rates["p_logical_shot"],
@@ -146,8 +176,7 @@ def run_memory(
         sample_seconds=t_sample, decode_seconds=t_decode,
         shots_per_second=shots / max(t_sample + t_decode, 1e-12),
         detector_fraction=float(dets.mean()), decoder=decoder,
-        extras={"n_detectors": circuit.n_detectors,
-                "n_measurements": circuit.n_measurements})
+        extras=extras)
 
 
 def threshold_scan(ds=(3, 5), ps=(1e-3, 2e-3, 4e-3), shots: int = 20000,
