@@ -37,7 +37,7 @@ import numpy as np
 
 
 def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
-                   dim: int = 3):
+                   dim: int = 3, prec: str = "highest"):
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.core.configs import SmoothJPSimulationInputs
@@ -77,6 +77,11 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
     # squaring-loop trip is a full batched matmul; don't pay for unused ones)
     ms = plan_squaring_bound(plan)
 
+    import jax.lax as lax
+    precision = {"highest": lax.Precision.HIGHEST,
+                 "high": lax.Precision.HIGH,
+                 "default": lax.Precision.DEFAULT}[prec]
+
     def step_fn(scales, L0, Cp, Cm, rho0s, phases):
         # ONE expm for the whole sweep: U_base is phase- and scale-free;
         # then ONE shared-weight matvec scan for every sim at once
@@ -84,7 +89,7 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
         Ub = uniform_base_propagator(L0, Cp, Cm, amp0, dt0,
                                      max_squarings=ms)
         rhos = evolve_rhos_phased_many(Ub, g, scales[:, None] * phases[None],
-                                       rho0s)
+                                       rho0s, precision=precision)
 
         def fid(rhos_b):
             _, avg, _ = compute_cz_fidelity(rhos_b, plan.kets)
@@ -226,7 +231,8 @@ def measure_parity_f64_device(plan):
     return rh, dt_run
 
 
-def measure_parity(plan, rhos_zvode, dtype="complex64"):
+def measure_parity(plan, rhos_zvode, dtype="complex64",
+                   prec: str = "highest"):
     """Worst-case 1 - F(device state, zvode-oracle state) over the 4
     computational basis states for the device dtype path (VERDICT r1 #4:
     the parity number for the dtype the chip actually runs)."""
@@ -249,9 +255,14 @@ def measure_parity(plan, rhos_zvode, dtype="complex64"):
     Ub = uniform_base_propagator(
         L0, Cp, Cm, float(np.asarray(plan.schedule.amps)[0]),
         float(np.asarray(plan.schedule.dts)[0]), max_squarings=ms)
+    import jax.lax as lax
+    precision = {"highest": lax.Precision.HIGHEST,
+                 "high": lax.Precision.HIGH,
+                 "default": lax.Precision.DEFAULT}[prec]
     rhos_dev = evolve_rhos_phased(
         Ub, jnp.asarray(g.astype(rdt)),
-        jnp.asarray(np.asarray(plan.schedule.phases, rdt)), rho0s)
+        jnp.asarray(np.asarray(plan.schedule.phases, rdt)), rho0s,
+        precision=precision)
     rhos_host = device_get_complex(rhos_dev)
     errs = [1.0 - _state_fidelity(rhos_host[i], rhos_zvode[i])
             for i in range(4)]
@@ -346,14 +357,18 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
             memory_z_detector_rounds)
         from noisyquantumsimulator_tpu.qec.window_matcher import (
             window_matcher_for_circuit)
+        # W=7/C=3: 4-round commit buffer -> oracle-parity windowed p_L
+        # (decoder_accuracy.json) at the best measured throughput (171k
+        # shots/s decoder-only at d=11, cap=256/chunk=4096 — W5-geometry
+        # 5-window jits also crash the tunneled TPU worker)
         chunk = min(4096, decode_shots)
         dec = window_matcher_for_circuit(
             circuit, memory_z_detector_rounds(d, rounds),
-            window_rounds=5, commit_rounds=2, max_defects=K, chunk=chunk,
-            k_light=6,
+            window_rounds=7, commit_rounds=3, max_defects=K, chunk=chunk,
+            k_light=6, heavy_capacity=max(chunk // 16, 64),
             greedy_fallback=0 if nat else 32)
         decoder_name = ("on-device sliding-window exact MWPM "
-                        f"(W=5 rounds, commit 2, K=6/{K} tiered per window)"
+                        f"(W=7 rounds, commit 3, K=6/{K} tiered per window)"
                         + (" + host exact cluster decode of flagged shots"
                            if nat else " + greedy-32 fallback tier"))
     sampler_dec = build_fast_sampler(circuit, decode_shots)
@@ -519,11 +534,11 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
 
 
 def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
-         dim: int = 3):
+         dim: int = 3, prec: str = "highest"):
     import jax
 
     backend = jax.devices()[0].platform
-    step, scales, plan = build_workload(batch, n_steps, dim=dim)
+    step, scales, plan = build_workload(batch, n_steps, dim=dim, prec=prec)
     sims_per_sec, mean_f = _sims_per_sec(step, scales, batch)
 
     batch_curve = []
@@ -533,14 +548,14 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
                 batch_curve.append({"batch": b,
                                     "sims_per_sec": round(sims_per_sec, 2)})
                 continue
-            s2, sc2, _ = build_workload(b, n_steps, dim=dim)
+            s2, sc2, _ = build_workload(b, n_steps, dim=dim, prec=prec)
             v, _ = _sims_per_sec(s2, sc2, b)
             batch_curve.append({"batch": b, "sims_per_sec": round(v, 2)})
 
     t_ref, rhos_zvode = run_baseline_zvode(plan)
     baseline_sims_per_sec = 1.0 / t_ref
     (parity_err, parity_err_x64, parity_err_f64dev,
-     t_f64dev) = measure_parity(plan, rhos_zvode)
+     t_f64dev) = measure_parity(plan, rhos_zvode, prec=prec)
 
     # useful-math FLOP accounting per sim (unpadded superoperator algebra;
     # a complex matmul = 8 M K N real FLOPs): the matvec scan does one
@@ -567,6 +582,7 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
         "backend": backend,
         "device": str(jax.devices()[0]),
         "dtype": "complex64",
+        "matmul_precision": prec,
         "mean_fidelity": round(mean_f, 6),
         "parity_err_c64_vs_zvode": parity_err,
         "parity_err_x64_vs_zvode": parity_err_x64,
@@ -651,12 +667,13 @@ if __name__ == "__main__":
                 shots=_flag(sys.argv, "--shots", 8192))
     elif "--one-gate" in sys.argv or "--dim4" in sys.argv \
             or "--batch" in sys.argv or "--steps" in sys.argv \
-            or "--curve" in sys.argv:
+            or "--curve" in sys.argv or "--prec" in sys.argv:
         dim4 = "--dim4" in sys.argv
         main(batch=_flag(sys.argv, "--batch", 1024 if dim4 else 4096),
              n_steps=_flag(sys.argv, "--steps", 300),
              curve="--curve" in sys.argv,
-             dim=4 if dim4 else 3)
+             dim=4 if dim4 else 3,
+             prec=_flag(sys.argv, "--prec", "highest", str))
     else:
         # no flags: the full canonical suite
         main_all()

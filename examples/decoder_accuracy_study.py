@@ -59,9 +59,33 @@ def run_point(d: int, rounds: int, p: float, shots: int, block: int,
         wms[(W, C)] = WindowMatcherTPU(
             circuit.n_detectors, edges, probs, obs, det_round,
             window_rounds=W, commit_rounds=C, max_defects=12,
-            chunk=chunk, k_light=6)
+            chunk=chunk, k_light=6,
+            heavy_capacity=max(chunk // 16, 64))
 
     sampler = build_fast_sampler(circuit, block)
+
+    # fetch detectors BIT-PACKED: the raw (block, n_det) uint8 fetch is
+    # ~50 MB/block over the axon tunnel and has crashed the TPU worker;
+    # packing on device cuts the transfer 8x
+    n_det = circuit.n_detectors
+    bitw = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+
+    @jax.jit
+    def sample_packed(key):
+        o = sampler(key)
+        x = o["detectors"].astype(jnp.int32)
+        pad = (-n_det) % 8
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)))
+        packed = jnp.sum(x.reshape(block, -1, 8) * bitw[None, None, :],
+                         axis=2).astype(jnp.uint8)
+        return packed, o["observables"][:, 0]
+
+    def sample_block(key):
+        packed, ob = sample_packed(key)
+        dets = np.unpackbits(np.asarray(packed), axis=1,
+                             bitorder="little")[:, :n_det].astype(np.uint8)
+        return dets, np.asarray(ob)
 
     acc = dict(shots=0, err_oracle=0, n_cert=0, sum_ndef=0.0, t_oracle=0.0)
     wacc = {wc: dict(err_window=0, err_escalated=0, n_flagged=0,
@@ -72,9 +96,8 @@ def run_point(d: int, rounds: int, p: float, shots: int, block: int,
 
     n_blocks = (shots + block - 1) // block
     for b in range(n_blocks):
-        out = sampler(jax.random.PRNGKey(seed0 + 1000 + b))
-        dets = np.asarray(out["detectors"], np.uint8)
-        obs_bits = np.asarray(out["observables"])[:, 0] & 1
+        dets, ob = sample_block(jax.random.PRNGKey(seed0 + 1000 + b))
+        obs_bits = ob & 1
 
         t0 = time.perf_counter()
         ro = nat.decode_batch_ex(dets, mode=0)
@@ -180,7 +203,17 @@ def main() -> None:
     rows = []
     for d in ds:
         print(f"d={d} rounds={d} p={p} shots={shots} wcs={wcs}", flush=True)
-        rows.append(run_point(d, d, p, shots, block, wcs=wcs))
+        # the tunneled TPU worker crashes stochastically on fresh window
+        # jits; a retry re-traces against the restarted worker
+        for attempt in range(3):
+            try:
+                rows.append(run_point(d, d, p, shots, block, wcs=wcs))
+                break
+            except Exception as e:
+                print(f"  attempt {attempt + 1} failed: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                if attempt == 2:
+                    raise
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "decoder_accuracy.json")
     prev = []

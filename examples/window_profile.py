@@ -24,27 +24,24 @@ import subprocess
 import sys
 import time
 
+# Focused grid: the d=7 accuracy study (examples/decoder_accuracy.json)
+# showed the commit buffer must be >= 4 rounds for oracle-parity p_L, so
+# the candidates are W7C3 / W6C2 geometries; W5C2 is kept only as the
+# round-2-comparable baseline.
 CONFIGS = [
-    ("r2 default: K6/K12 cap=c/4 greedy32 c=4096",
-     dict(chunk=4096, k_light=6, greedy_fallback=32)),
-    ("no greedy: K6/K12 cap=c/4 c=4096",
+    ("W7C3 K6/K12 cap=512 c=8192",
+     dict(chunk=8192, k_light=6, heavy_capacity=512,
+          window_rounds=7, commit_rounds=3)),
+    ("W7C3 K6/K12 cap=256 c=4096",
+     dict(chunk=4096, k_light=6, heavy_capacity=256,
+          window_rounds=7, commit_rounds=3)),
+    ("W6C2 K6/K12 cap=512 c=8192",
+     dict(chunk=8192, k_light=6, heavy_capacity=512,
+          window_rounds=6, commit_rounds=2)),
+    ("r2 baseline W5C2 K6/K12 cap=c/4 c=4096",
      dict(chunk=4096, k_light=6)),
-    ("no greedy: K6/K12 cap=256 c=4096",
-     dict(chunk=4096, k_light=6, heavy_capacity=256)),
-    ("no greedy: K6/K12 cap=512 c=8192",
-     dict(chunk=8192, k_light=6, heavy_capacity=512)),
-    ("no greedy: K6/K12 cap=1024 c=16384",
-     dict(chunk=16384, k_light=6, heavy_capacity=1024)),
-    ("ablation: K12 every row c=4096",
-     dict(chunk=4096, k_light=0)),
-    ("ablation: K=6 only (keff=6; accuracy OFF) c=4096",
-     dict(chunk=4096, k_light=0, max_defects=6)),
-    ("W=4 C=2: K6/K12 cap=256 c=8192",
-     dict(chunk=8192, k_light=6, heavy_capacity=256,
-          window_rounds=4, commit_rounds=2)),
-    ("W=6 C=3: K6/K12 cap=256 c=8192",
-     dict(chunk=8192, k_light=6, heavy_capacity=256,
-          window_rounds=6, commit_rounds=3)),
+    ("W7C3 K12-all cap=n/a c=8192",
+     dict(chunk=8192, k_light=0, window_rounds=7, commit_rounds=3)),
 ]
 
 

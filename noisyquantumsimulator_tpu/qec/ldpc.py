@@ -467,7 +467,8 @@ def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale):
 
     def c2v(msg_vc):
         m = msg_vc.reshape(S, n_chk, w_max)
-        sgn = jnp.where(m < 0, -1.0, 1.0)        # padding (+big) -> +1
+        one = jnp.ones((), m.dtype)              # keep f32 under x64
+        sgn = jnp.where(m < 0, -one, one)        # padding (+big) -> +1
         mag = jnp.abs(m)
         m1 = jnp.min(mag, axis=2)                              # (S, n_chk)
         is1 = mag == m1[:, :, None]

@@ -116,13 +116,20 @@ def run_memory(
         det_round = memory_detector_rounds(d, rounds, basis=basis)
         K_dp = min(12, max_defects)
         wchunk = min(4096, max(256, shots))
+        # W=7, C=3: the 4-round commit buffer is what makes windowed
+        # decoding oracle-exact in practice (buffer-3 geometries measured
+        # 1.4x the true-MWPM p_L at d=7; examples/decoder_accuracy.json),
+        # and the 3-window unrolled jit compiles where 5-window programs
+        # crash the tunneled TPU worker
+        W, C = (7, 3) if rounds >= 5 else (5, 2)
         if decoder == "window_native":
             # over-budget windows flag the shot for host exact cluster
             # re-decode (no greedy tier anywhere)
             from .window_matcher import escalating_matcher_for_circuit
             dec = escalating_matcher_for_circuit(
-                circuit, det_round, max_defects=K_dp,
-                k_light=6 if K_dp > 6 else 0, chunk=wchunk)
+                circuit, det_round, window_rounds=W, commit_rounds=C,
+                max_defects=K_dp, k_light=6 if K_dp > 6 else 0,
+                chunk=wchunk, heavy_capacity=max(wchunk // 16, 64))
         else:
             # pure-device path: max_defects maps onto the budget-free
             # tier — the per-window exact DP stays at min(12,
@@ -130,7 +137,7 @@ def run_memory(
             # greedy tier with the user's full budget
             from .window_matcher import window_matcher_for_circuit
             dec = window_matcher_for_circuit(
-                circuit, det_round,
+                circuit, det_round, window_rounds=W, commit_rounds=C,
                 max_defects=K_dp, k_light=6 if K_dp > 6 else 0,
                 greedy_fallback=max_defects if max_defects > K_dp else 0,
                 chunk=wchunk)

@@ -178,8 +178,8 @@ def total_propagator_phased(U_base, g, phases):
     return row[:, None] * core * col[None, :]
 
 
-@partial(jax.jit, static_argnames=())
-def evolve_rhos_phased(U_base, g, phases, rho0s):
+@partial(jax.jit, static_argnames=("precision",))
+def evolve_rhos_phased(U_base, g, phases, rho0s, precision=None):
     """Phase-frame evolution of a batch of density matrices (the fast path
     of evolve_rhos for uniform-(amp, dt) schedules).
 
@@ -199,7 +199,7 @@ def evolve_rhos_phased(U_base, g, phases, rho0s):
     """
     B, D, _ = rho0s.shape
     rdt = U_base.real.dtype
-    P = jax.lax.Precision.HIGHEST
+    P = jax.lax.Precision.HIGHEST if precision is None else precision
     g = g.astype(rdt)
     ph = phases.astype(rdt)
     dphi = jnp.concatenate([jnp.zeros((1,), rdt), ph[:-1] - ph[1:]])
@@ -215,19 +215,26 @@ def evolve_rhos_phased(U_base, g, phases, rho0s):
     return v.reshape(B, D, D)
 
 
-@partial(jax.jit, static_argnames=())
-def evolve_rhos_phased_many(U_base, g, phases_bn, rho0s):
+@partial(jax.jit, static_argnames=("precision",))
+def evolve_rhos_phased_many(U_base, g, phases_bn, rho0s,
+                            precision=None):
     """evolve_rhos_phased for a BATCH of schedules sharing one U_base.
 
     phases_bn: (B, n) per-sim phase schedules (e.g. a parameter sweep);
     rho0s: (S, D, D) initial states shared by every sim. Returns
     (B, S, D, D). One (B*S, D^2) @ (D^2, D^2) shared-weight matmul per
     segment — the whole sweep rides a single resident weight matrix.
+
+    precision: lax.Precision for the per-segment matvec; defaults to
+    HIGHEST (6-pass bf16 = exact f32). The dim-3 hot matmul is
+    FLOP-bound with 81-wide operands padding to 128-lane tiles, so
+    HIGH trades ~1 decimal digit of c64 parity for measurable
+    throughput (bench.py --prec high reports both).
     """
     S, D, _ = rho0s.shape
     B, n = phases_bn.shape
     rdt = U_base.real.dtype
-    P = jax.lax.Precision.HIGHEST
+    P = jax.lax.Precision.HIGHEST if precision is None else precision
     g = g.astype(rdt)
     ph = phases_bn.astype(rdt)
     dphi = jnp.concatenate(

@@ -914,7 +914,12 @@ class TestRunMemoryWindowRouting:
         a physical logical error rate."""
         from noisyquantumsimulator_tpu.qec.memory import run_memory
         r = run_memory(d=9, rounds=6, p=2e-3, shots=2048)
-        assert r.decoder == "window"
+        # with the native library built the auto route escalates flagged
+        # shots to the host exact cluster decoder; plain "window" is the
+        # no-native fallback
+        from noisyquantumsimulator_tpu.qec.native import native_available
+        assert r.decoder == ("window_native" if native_available()
+                             else "window")
         assert 0.0 <= r.p_logical_shot < 0.1
 
     def test_window_decoder_rejects_external_circuit(self):
@@ -1076,3 +1081,65 @@ class TestNativeClusterExact:
         pred_old = np.asarray(nat.decode_batch(dets[small])) & 1
         assert rc["exact"].all()
         assert ((rc["pred"] & 1) == pred_old).all()
+
+
+class TestBPSlotKernel:
+    """The dense check-slot BP kernel (_bp_slots) must reproduce the
+    per-edge segment-reduction kernel (_bp_edges): same message schedule,
+    same min1/min2 tie rule, so hard decisions agree bit-for-bit and
+    beliefs to float association order."""
+
+    def _setup(self):
+        import jax
+        from noisyquantumsimulator_tpu.qec.ldpc import (bb_memory_circuit,
+                                                        small_bb_code)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        Hx, Hz = small_bb_code()
+        c = bb_memory_circuit(Hx, Hz, 2, 3e-3)
+        out = build_fast_sampler(c, 1024)(jax.random.PRNGKey(11))
+        return c, np.asarray(out["detectors"], np.uint8), \
+            np.asarray(out["observables"])
+
+    def test_slots_matches_edges_kernel(self):
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
+        c, dets, _ = self._setup()
+        de = DemBPDecoder(c, n_iters=25, kernel="edges")
+        ds = DemBPDecoder(c, n_iters=25, kernel="slots")
+        pe, be, ble = (np.asarray(a) for a in
+                       de._full(jnp.asarray(dets, jnp.float32)))
+        ps, bs, bls = (np.asarray(a) for a in
+                       ds._full(jnp.asarray(dets, jnp.float32)))
+        assert (pe == ps).all()
+        assert (be == bs).all()
+        assert np.abs(ble - bls).max() < 1e-2
+
+    def test_tiering_transparent(self):
+        """fast_iters tiering must not change any converged result: the
+        fast tier's output is kept only where its residual syndrome is
+        zero, and the retry tier reproduces the full-depth run."""
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
+        c, dets, _ = self._setup()
+        ds = DemBPDecoder(c, n_iters=25, kernel="slots")
+        dt = DemBPDecoder(c, n_iters=25, kernel="slots", fast_iters=6)
+        ps, bs, _ = (np.asarray(a) for a in
+                     ds._full(jnp.asarray(dets, jnp.float32)))
+        pt, bt, _ = (np.asarray(a) for a in
+                     dt._full(jnp.asarray(dets, jnp.float32)))
+        # non-converged flags agree and predictions agree wherever the
+        # full-depth run converged
+        assert (bs == bt).all()
+        assert (ps[~bs] == pt[~bs]).all()
+
+    def test_decode_batch_osd_cleans_tail(self):
+        from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
+        c, dets, obs = self._setup()
+        dec = DemBPDecoder(c, n_iters=30, kernel="slots", fast_iters=8)
+        pred = dec.decode_batch(dets)
+        k = obs.shape[1]
+        fail = np.zeros(dets.shape[0], bool)
+        for b in range(k):
+            fail |= (((pred >> b) & 1) != obs[:, b])
+        assert fail.mean() < 0.02
