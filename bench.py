@@ -418,6 +418,11 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     for r in range(reps_d):
         n_err, n_ovf, dets_f, obs_f, ovf_f = e2e_j(
             jax.random.PRNGKey(200 + r))
+        if nat is not None and int(n_ovf) > cap:
+            # flagged shots beyond the fetch cap would keep (uncounted)
+            # window predictions — refuse to publish a silent undercount
+            raise RuntimeError(
+                f"escalation fetch cap {cap} < flagged {int(n_ovf)}")
         errs += int(n_err) + escalate_host(dets_f, obs_f, ovf_f)
         ovf += int(n_ovf)
     dt_d = time.perf_counter() - t0
@@ -512,6 +517,9 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
     fails = bad = 0
     for r in range(reps):
         f, b, dets_r, bel_r, obs_r, bad_r = e2e_j(jax.random.PRNGKey(100 + r))
+        if int(b) > cap:
+            raise RuntimeError(  # see main_qec: no silent undercounts
+                f"residue fetch cap {cap} < non-converged {int(b)}")
         fails += int(f) + osd_host(dets_r, bel_r, obs_r, bad_r)
         bad += int(b)
     dt = time.perf_counter() - t0
@@ -652,6 +660,14 @@ def main_all() -> None:
         "metric": "cz_lindblad_sims_per_sec", "value": None,
         "unit": "sims/s", "vs_baseline": None}
     out["records"] = records
+    # the canonical record of record: README performance rows are
+    # regenerated from THIS file (examples/gen_readme_table.py), so
+    # prose numbers cannot drift from driver-captured ones
+    canon = os.path.join(os.path.dirname(here), "BENCH_CANON.json")
+    ok = [n for n, r in records.items() if "value" in r]
+    if len(ok) == len(_SUITE):          # only a fully-clean suite is canon
+        with open(canon, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 

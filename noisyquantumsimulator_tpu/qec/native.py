@@ -116,7 +116,8 @@ class NativeMatchingDecoder:
         self.last_decode_seconds = time.perf_counter() - t0
         return out.astype(np.int64)
 
-    def decode_batch_ex(self, detectors: np.ndarray, mode: int = 0):
+    def decode_batch_ex(self, detectors: np.ndarray, mode: int = 0,
+                        threads: Optional[int] = None):
         """Decode with per-shot diagnostics.
 
         mode 0: exact cluster decomposition (production); 1: whole-shot
@@ -147,15 +148,34 @@ class NativeMatchingDecoder:
         exact = np.zeros(shots, dtype=np.uint8)
         cost = np.zeros(shots, dtype=np.float64)
         t0 = time.perf_counter()
-        lib.uf_decode_batch_ex(
-            self._handle,
-            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            shots, n_det, int(mode),
-            pred.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ndef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            maxc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            exact.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+
+        def _run(lo: int, hi: int) -> None:
+            # decode_shot reads only the const Ctx (scratch is per-call
+            # and ctypes drops the GIL), so disjoint slices are safe
+            lib.uf_decode_batch_ex(
+                self._handle,
+                dets[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                hi - lo, n_det, int(mode),
+                pred[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ndef[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                maxc[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                exact[lo:hi].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                cost[lo:hi].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)))
+
+        nt = threads if threads is not None else (
+            min(os.cpu_count() or 1, 16) if shots >= 512 else 1)
+        nt = max(1, min(nt, shots))
+        if nt == 1:
+            _run(0, shots)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            step = -(-shots // nt)
+            bounds = [(i, min(i + step, shots))
+                      for i in range(0, shots, step)]
+            with ThreadPoolExecutor(max_workers=len(bounds)) as ex:
+                list(ex.map(lambda b: _run(*b), bounds))
         self.last_decode_seconds = time.perf_counter() - t0
         return {"pred": pred.astype(np.int64), "n_defects": ndef,
                 "max_cluster": maxc, "exact": exact.astype(bool),

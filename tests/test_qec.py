@@ -1083,6 +1083,72 @@ class TestNativeClusterExact:
         assert ((rc["pred"] & 1) == pred_old).all()
 
 
+class TestBlossomMatching:
+    """The native O(n^3) blossom matcher (uf_decoder.cpp decode_blossom,
+    mode=3): exact MWPM in polynomial time via the boundary reduction
+    w'(i,j) = min(D(i,j), D(i,B)+D(j,B)) (+1 virtual node when the defect
+    count is odd). Must reproduce the bitmask-DP oracle's matching COST
+    exactly on every shot; parity can differ only between cost-degenerate
+    minimum matchings."""
+
+    def _setup(self, d=5, rounds=None, p=8e-3, shots=4096, seed=5):
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        from noisyquantumsimulator_tpu.qec.decoders import (
+            decoder_for_circuit)
+        from noisyquantumsimulator_tpu.qec.native import native_available
+        if not native_available():
+            pytest.skip("native library not built")
+        c = memory_z_circuit(d, rounds=rounds or d, p=p)
+        out = build_fast_sampler(c, shots)(jax.random.PRNGKey(seed))
+        dets = np.asarray(out["detectors"], np.uint8)
+        return decoder_for_circuit(c, "native"), dets
+
+    def test_blossom_matches_dp_oracle_cost(self):
+        nat, dets = self._setup()
+        nd = dets.sum(1)
+        dets = dets[nd <= 20]          # oracle-certifiable budget
+        ro = nat.decode_batch_ex(dets, mode=1)
+        rb = nat.decode_batch_ex(dets, mode=3)
+        assert ro["exact"].all() and rb["exact"].all()
+        np.testing.assert_allclose(rb["cost"], ro["cost"],
+                                   rtol=0, atol=1e-6)
+        mism = (rb["pred"] & 1) != (ro["pred"] & 1)
+        if mism.any():                 # tie-equivalent matchings only
+            np.testing.assert_allclose(rb["cost"][mism], ro["cost"][mism],
+                                       rtol=0, atol=1e-6)
+            assert mism.mean() < 0.01
+
+    def test_blossom_handles_odd_and_tiny_counts(self):
+        nat, dets = self._setup(shots=8192)
+        nd = dets.sum(1)
+        for k in (1, 2, 3, 5):
+            sel = nd == k
+            if not sel.any():
+                continue
+            ro = nat.decode_batch_ex(dets[sel], mode=1)
+            rb = nat.decode_batch_ex(dets[sel], mode=3)
+            np.testing.assert_allclose(rb["cost"], ro["cost"],
+                                       rtol=0, atol=1e-6)
+
+    def test_cluster_mode_uses_blossom_beyond_dp_budget(self):
+        """mode 0 components above the 12-defect DP budget route to
+        blossom: the exact flag stays set and the cost is still the
+        oracle minimum (the old greedy fallback cleared the flag)."""
+        nat, dets = self._setup(shots=8192, seed=7)
+        nd = dets.sum(1)
+        sel = (nd > 12) & (nd <= 20)
+        assert sel.sum() > 100
+        rc = nat.decode_batch_ex(dets[sel], mode=0)
+        ro = nat.decode_batch_ex(dets[sel], mode=1)
+        assert rc["exact"].all()
+        np.testing.assert_allclose(rc["cost"], ro["cost"],
+                                   rtol=0, atol=1e-6)
+
+
 class TestBPSlotKernel:
     """The dense check-slot BP kernel (_bp_slots) must reproduce the
     per-edge segment-reduction kernel (_bp_edges): same message schedule,
