@@ -49,6 +49,30 @@ CONFIGS = [
           window_rounds=7, commit_rounds=3)),
     ("W7C3 K12-all cap=n/a c=4096",
      dict(chunk=4096, k_light=0, window_rounds=7, commit_rounds=3)),
+    # d=11 candidates: per-window P(>8) is 11-20% there, so the K12 tier
+    # either needs more capacity or a cheaper K=10 budget; blossom-fast
+    # host escalation (90k shots/s) makes moderate flag rates affordable
+    ("W7C3 K8/K10 cap=768 c=4096",
+     dict(chunk=4096, k_light=8, heavy_capacity=768, max_defects=10,
+          window_rounds=7, commit_rounds=3)),
+    ("W7C3 K6/K10 cap=768 c=4096",
+     dict(chunk=4096, k_light=6, heavy_capacity=768, max_defects=10,
+          window_rounds=7, commit_rounds=3)),
+    ("W6C2 K8/K12 cap=512 c=4096",
+     dict(chunk=4096, k_light=8, heavy_capacity=512,
+          window_rounds=6, commit_rounds=2)),
+    # capacity-headroom variants: d=11 flag at cap=512-768 still tracks
+    # capacity (29% -> 19% from 256 -> 512), so push cap until the flag
+    # floor (true >K-defect window clusters) is exposed
+    ("W7C3 K8/K12 cap=768 c=4096",
+     dict(chunk=4096, k_light=8, heavy_capacity=768,
+          window_rounds=7, commit_rounds=3)),
+    ("W7C3 K8/K10 cap=1024 c=4096",
+     dict(chunk=4096, k_light=8, heavy_capacity=1024, max_defects=10,
+          window_rounds=7, commit_rounds=3)),
+    ("W7C3 K8/K12 cap=1024 c=4096",
+     dict(chunk=4096, k_light=8, heavy_capacity=1024,
+          window_rounds=7, commit_rounds=3)),
 ]
 
 
