@@ -1,8 +1,8 @@
-from . import (circuits, color_code, compiler, decoders, dem,  # noqa: F401
-               dem_decoder, erasure, executor, exact_matcher, fast_sampler,
-               lattice_surgery, ldpc, ldpc_layout, memory, nn_decoder,
-               pauli_frame, scheduler, surface_code, topology,
-               window_matcher)
+from . import (circuits, cluster_matcher, color_code, compiler,  # noqa: F401
+               decoders, dem, dem_decoder, erasure, executor,
+               exact_matcher, fast_sampler, lattice_surgery, ldpc,
+               ldpc_layout, memory, nn_decoder, pauli_frame, scheduler,
+               surface_code, topology, window_matcher)
 from .dem_decoder import DemBPDecoder  # noqa: F401
 from .ldpc import run_bb_circuit_memory  # noqa: F401
 from .erasure import run_erasure_memory  # noqa: F401
@@ -15,3 +15,4 @@ from .exact_matcher import (exact_matcher_for_circuit,  # noqa: F401
                             tiered_matcher_for_circuit)
 from .window_matcher import (window_matcher_for_circuit,  # noqa: F401
                              escalating_matcher_for_circuit)
+from .cluster_matcher import cluster_matcher_for_circuit  # noqa: F401

@@ -137,10 +137,22 @@ def _slot_tables(dets, dist, parity, K: int):
 
 def _dp_decode(dets, dist, parity, tables, K: int):
     """dets (S, n_det) uint8 -> exact matching observable parity (S,)."""
-    S, n_det = dets.shape
-    W = K - 1
-
     _, Wm, Pm, Wb, Pb = _slot_tables(dets, dist, parity, K)
+    return _dp_from_tables(Wm, Pm, Wb, Pb, tables, K)
+
+
+def _dp_from_tables(Wm, Pm, Wb, Pb, tables, K: int):
+    """The bitmask-DP level loop on PRECOMPUTED per-row slot tables.
+
+    Wm/Pm (S, K, K) pair weight/parity, Wb/Pb (S, K) boundary
+    weight/parity — the exact layout _slot_tables produces. Split out so
+    callers that already hold per-defect distances (the cluster
+    decomposition decoder routes component members here without paying
+    the (S, K, n_det) one-hot einsums again) share one DP implementation
+    with _dp_decode. Returns the (S,) int32 matching observable parity."""
+    S = Wm.shape[0]
+    W = K - 1
+    dist = Wm  # dtype carrier only
     Wm_flat = Wm.reshape(S, K * K)
     Pm_flat = Pm.reshape(S, K * K)
 

@@ -80,16 +80,17 @@ def run_memory(
             raise ValueError(f"basis must be 'Z' or 'X', got {basis!r}")
 
     if decoder == "auto":
-        if d >= 9 and built_here:
+        if d >= 9:
             # the per-shot defect count blows any fixed exact-DP budget
-            # at scale; sliding-window exact matching keeps per-window
-            # counts bounded (window_matcher.py regime map). With the
-            # native library present, shots whose windows overflow the
-            # DP budget escalate to the host exact cluster decoder —
-            # MWPM-class accuracy at any distance.
+            # at scale; on-device exact cluster decomposition
+            # (cluster_matcher.py) bounds per-DP counts by component
+            # size instead. With the native library present, the rare
+            # shots the device cannot certify (a component beyond the
+            # K=12 DP budget, ~1e-3 below threshold) escalate to the
+            # host exact cluster decoder — true MWPM at any distance.
             from .native import native_available
-            decoder = ("window_native" if native_available()
-                       else "window")
+            decoder = ("cluster_native" if native_available()
+                       else "cluster")
         else:
             # native exact-MWPM (<=12 defects, greedy beyond) when
             # built: strictly better accuracy AND ~1000x faster than
@@ -104,7 +105,14 @@ def run_memory(
             sampler = build_sampler(circuit, shots)
     else:
         sampler = build_sampler(circuit, shots)
-    if decoder in ("window", "window_native"):
+    if decoder in ("cluster", "cluster_native"):
+        # exact cluster decomposition on device; circuit-agnostic (only
+        # needs the DEM, not round labels)
+        from .cluster_matcher import cluster_matcher_for_circuit
+        cchunk = min(4096, max(256, shots))
+        dec = cluster_matcher_for_circuit(
+            circuit, chunk=cchunk, escalating=decoder == "cluster_native")
+    elif decoder in ("window", "window_native"):
         if not built_here:
             raise ValueError(
                 f"decoder={decoder!r} needs the round labels of a memory "
@@ -165,10 +173,14 @@ def run_memory(
 
     extras = {"n_detectors": circuit.n_detectors,
               "n_measurements": circuit.n_measurements}
-    if decoder == "window_native":
+    if decoder in ("window_native", "cluster_native"):
         # fraction of shots escalated to the host exact cluster decoder
         # (decoded exactly — a cost signal, not a truncation signal)
         extras["escalated_fraction"] = dec.last_flagged_fraction
+    elif decoder == "cluster":
+        # fraction of shots the device could not certify-exactly decode
+        # (their in-budget components were still decoded exactly)
+        extras["overflow_fraction"] = dec.last_overflow_fraction
     elif decoder == "window":
         # fraction of shots where some window exceeded its DP budget and
         # excess defects were deferred/greedy-matched (the truncation

@@ -1209,3 +1209,91 @@ class TestBPSlotKernel:
         for b in range(k):
             fail |= (((pred >> b) & 1) != obs[:, b])
         assert fail.mean() < 0.02
+
+
+class TestClusterMatcherTPU:
+    """On-device exact cluster decomposition (qec/cluster_matcher.py):
+    per-shot components under the strict adjacency D(i,j) < D(i,B) +
+    D(j,B) decoded by per-size-class bitmask DPs. Non-flagged shots must
+    be parity-identical to the native C++ exact cluster decoder (the
+    host oracle implementing the same theorem in f64); flagged shots
+    must be a superset of everything the device could not certify."""
+
+    def _setup(self, d, p, shots, seed=0, **kw):
+        import jax
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        from noisyquantumsimulator_tpu.qec.dem import (build_dem,
+                                                       dem_to_edges)
+        from noisyquantumsimulator_tpu.qec.native import (
+            NativeMatchingDecoder, native_available)
+        from noisyquantumsimulator_tpu.qec.cluster_matcher import (
+            ClusterMatcherTPU)
+        if not native_available():
+            pytest.skip("native library not built")
+        c = memory_z_circuit(d, rounds=d, p=p)
+        edges, probs, obs = dem_to_edges(build_dem(c))
+        nat = NativeMatchingDecoder(c.n_detectors, edges, probs, obs)
+        cm = ClusterMatcherTPU(c.n_detectors, edges, probs, obs,
+                               chunk=shots, **kw)
+        out = build_fast_sampler(c, shots)(jax.random.PRNGKey(seed))
+        dets = np.asarray(out["detectors"], np.uint8)
+        return cm, nat, dets
+
+    def test_parity_identical_to_native_oracle(self):
+        import jax.numpy as jnp
+        for d, p, shots in ((5, 3e-3, 2048), (9, 2e-3, 1024)):
+            cm, nat, dets = self._setup(d, p, shots)
+            pred, ovf = cm.decode_device_with_overflow(jnp.asarray(dets))
+            pred = np.asarray(pred) & 1
+            ovf = np.asarray(ovf)
+            ref = nat.decode_batch_ex(dets, mode=0)["pred"] & 1
+            ok = ~ovf
+            assert ok.sum() > shots // 2
+            assert (pred[ok] == ref[ok]).all(), (
+                f"d={d}: device cluster parity diverged from the native "
+                "oracle on certified shots")
+
+    def test_flags_cover_oversize_components(self):
+        import jax.numpy as jnp
+        cm, nat, dets = self._setup(9, 2e-3, 1024)
+        _, ovf = cm.decode_device_with_overflow(jnp.asarray(dets))
+        ovf = np.asarray(ovf)
+        maxc = nat.decode_batch_ex(dets, mode=0)["max_cluster"]
+        # every shot with a component beyond the big-DP budget is flagged
+        assert ovf[maxc > cm.k_big].all()
+
+    def test_capacity_overflow_flags_not_truncates(self):
+        import jax.numpy as jnp
+        # starve the small-DP row capacity: affected shots must FLAG
+        cm, nat, dets = self._setup(7, 5e-3, 512,
+                                    small_rows_per_shot=0.13,
+                                    big_rows_per_shot=0.13)
+        pred, ovf = cm.decode_device_with_overflow(jnp.asarray(dets))
+        pred = np.asarray(pred) & 1
+        ovf = np.asarray(ovf)
+        assert ovf.any()   # the starvation fired
+        ref = nat.decode_batch_ex(dets, mode=0)["pred"] & 1
+        assert (pred[~ovf] == ref[~ovf]).all()
+
+    def test_escalating_equals_native_everywhere(self):
+        from noisyquantumsimulator_tpu.qec.surface_code import (
+            memory_z_circuit)
+        from noisyquantumsimulator_tpu.qec.cluster_matcher import (
+            cluster_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.native import native_available
+        import jax
+        from noisyquantumsimulator_tpu.qec.fast_sampler import (
+            build_fast_sampler)
+        if not native_available():
+            pytest.skip("native library not built")
+        c = memory_z_circuit(9, rounds=9, p=2e-3)
+        ec = cluster_matcher_for_circuit(c, chunk=512, escalating=True)
+        out = build_fast_sampler(c, 1024)(jax.random.PRNGKey(3))
+        dets = np.asarray(out["detectors"], np.uint8)
+        pred = ec.decode_batch(dets) & 1
+        ref = ec.native.decode_batch_ex(dets, mode=0)["pred"] & 1
+        assert (pred == ref).all()
+        assert 0.0 < ec.last_flagged_fraction < 1.0
