@@ -53,20 +53,21 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     # decoder regime map (expected defect count = n_det * det_frac grows
     # with d^2 * rounds): d <= 7 stays in the tiered EXACT matcher's K=12
     # per-shot budget at p ~ 1e-3 (overflow ~ 2e-4 at d=7); d >= 9 the
-    # mean defect count (4.8 at d=9, 8.6 at d=11) blows the budget, so
-    # decoding slides over round windows (W=7, C=3: the 4-round commit
-    # buffer is oracle-exact in practice, decoder_accuracy.json). Either
-    # way, shots the device cannot decode exactly (>K defects at d<=7;
-    # any over-budget window at d>=9) are FLAGGED and re-decoded whole
-    # by the native C++ exact cluster decoder — MWPM-class p_L at every
-    # distance, with the host doing only the heavy tail.
+    # mean defect count (5.1 at d=9, 9.6 at d=11) blows the budget, so
+    # shots are decomposed ON DEVICE into spatial components (cluster_
+    # matcher.py: D(i,j) < D(i,B)+D(j,B) adjacency, per-size-class DPs).
+    # Either way, shots the device cannot certify-exactly decode
+    # (>K defects at d<=7; any component beyond the K=12 DP budget at
+    # d>=9) are FLAGGED and re-decoded whole by the native C++ exact
+    # decoder — true MWPM p_L at every distance, with the host doing
+    # only the heavy tail (~1.3% at d=9, measured).
     import numpy as np
     from noisyquantumsimulator_tpu.qec.dem import build_dem, dem_to_edges
     from noisyquantumsimulator_tpu.qec.native import NativeMatchingDecoder
     K = 12
     edges, eprobs, eobs = dem_to_edges(build_dem(circuit))
     nat = NativeMatchingDecoder(circuit.n_detectors, edges, eprobs, eobs)
-    cap = min(decode_shots, max(decode_shots // 16, 64))
+    cap = min(decode_shots, max(decode_shots // 8, 64))
     if d <= 7:
         chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
@@ -75,17 +76,14 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         decoder_name = ("tiered exact (K=6/K=12) + host cluster-exact "
                         "escalation of >12-defect shots")
     else:
-        from noisyquantumsimulator_tpu.qec.surface_code import (
-            memory_z_detector_rounds)
-        from noisyquantumsimulator_tpu.qec.window_matcher import (
-            window_matcher_for_circuit)
+        from noisyquantumsimulator_tpu.qec.cluster_matcher import (
+            ClusterMatcherTPU)
         chunk = min(4096, decode_shots)
-        dec = window_matcher_for_circuit(
-            circuit, memory_z_detector_rounds(d, rounds),
-            window_rounds=7, commit_rounds=3, max_defects=K, chunk=chunk,
-            k_light=6, heavy_capacity=max(chunk // 16, 64))
-        decoder_name = ("sliding-window exact (W=7, C=3, K=6/12 tiered) "
-                        "+ host cluster-exact escalation of flagged shots")
+        dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
+                                chunk=chunk)
+        decoder_name = ("on-device exact cluster decomposition "
+                        "(K=6/8/10/12 size-class DPs) + host "
+                        "cluster-exact escalation of flagged shots")
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):
@@ -110,9 +108,13 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
 
     e2e_j = jax.jit(e2e)
     int(e2e_j(jax.random.PRNGKey(100))[0])  # warm-up fence
-    reps_d = 3
+    # p_L shrinks ~5x per distance step with an exact decoder, so the
+    # shot budget must GROW with d for the p_L column to carry meaning
+    # (d=11 true-MWPM p_L is ~1e-5-class: 3 reps of 2^17 would see ~2
+    # errors; 24 reps see ~15)
+    reps_d = {9: 8, 11: 24}.get(d, 3)
     t0 = time.perf_counter()
-    errs = ovf = 0
+    errs = ovf = errs_host = 0
     for r in range(reps_d):
         n_err, n_ovf, dets_f, obs_f, ovf_f = e2e_j(
             jax.random.PRNGKey(200 + r))
@@ -126,7 +128,7 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         if sel.any():
             pred_h = nat.decode_batch_ex(np.asarray(dets_f)[sel],
                                          mode=0)["pred"] & 1
-            errs += int(np.sum(pred_h != (np.asarray(obs_f)[sel] & 1)))
+            errs_host += int(np.sum(pred_h != (np.asarray(obs_f)[sel] & 1)))
         errs += int(n_err)
         ovf += int(n_ovf)
     dt_d = time.perf_counter() - t0
@@ -137,8 +139,14 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         "detector_fraction": tot / (shots_done * circuit.n_detectors),
         "sample_shots_per_sec": shots_done / dt_s,
         "e2e_sample_decode_shots_per_sec": n_dec / dt_d,
-        "e2e_p_logical_shot": errs / n_dec,
+        "e2e_p_logical_shot": (errs + errs_host) / n_dec,
         "e2e_escalated_fraction": ovf / n_dec,
+        # the VERDICT-requested split: p_L measured separately on the
+        # escalated (host-exact) and device-decoded shot populations
+        "p_L_on_escalated_shots": errs_host / max(ovf, 1),
+        "p_L_on_device_shots": errs / max(n_dec - ovf, 1),
+        "n_errors_escalated": errs_host,
+        "n_errors_device": errs,
         "decoder": decoder_name,
         # per-row provenance: --ds merges rows from separate runs, which
         # may differ in backend or shot budget

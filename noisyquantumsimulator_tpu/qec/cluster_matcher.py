@@ -22,11 +22,10 @@ Device pipeline (one jitted call per chunk):
   4. size-1 components: boundary parity, size-2: pair parity (for a
      2-component the direct edge IS the adjacency witness, so the pair
      beats two boundary matches by construction) — both elementwise,
-  5. components of size 3..k_small and k_small+1..k_big are compacted
-     chunk-wide (top_k over (S*MD) candidates) into per-component rows
-     whose DP slot tables are GATHERED from step 2's tables, then solved
-     by the shared bitmask-DP level loop (exact_matcher._dp_from_tables)
-     at K = k_small / k_big,
+  5. components of size 3+ are compacted chunk-wide (top_k over (S*MD)
+     candidates) into per-component rows routed by size class to
+     K = 6/8/10/12 bitmask DPs whose slot tables are GATHERED from step
+     2's tables (shared level loop, exact_matcher._dp_from_tables),
   6. per-component parities scatter-XOR back into per-shot parity.
 
 Shots the device cannot certify-exactly decode raise the per-shot `ovf`
@@ -81,36 +80,52 @@ class ClusterMatcherTPU:
 
     def __init__(self, n_detectors: int, edges: np.ndarray,
                  probs: np.ndarray, obs: np.ndarray,
-                 max_slots: int = 32, k_small: int = 6, k_big: int = 12,
-                 small_rows_per_shot: float = 1.5,
-                 big_rows_per_shot: float = 0.25,
-                 chunk: int = 4096):
-        if not 2 < k_small < k_big:
-            raise ValueError("need 2 < k_small < k_big")
-        if k_big > 16:
-            raise ValueError("bitmask DP is exponential in k_big; use <= 16")
+                 max_slots: int = 32, tiers=None, chunk: int = 4096,
+                 precision: str = "high",
+                 small_rows_per_shot: float | None = None,
+                 big_rows_per_shot: float | None = None):
+        """tiers: ((lo, hi, K, rows_per_shot), ...) size-class DP routing;
+        components of size lo..hi (hi <= K) go to a K-budget DP with a
+        per-chunk row capacity of ceil(rows_per_shot * chunk). The
+        defaults are sized for p ~ 1e-3 memory circuits up to d ~ 13
+        (measured component-size distributions, examples/window_profile
+        notes); starved capacities FLAG shots, never truncate. The
+        legacy small/big_rows_per_shot kwargs scale the K=6 / K>6 tiers.
+
+        precision: matmul passes for the one-hot table copies — "high"
+        (bf16x3, exact reconstruction of f32 one-hot selections, 2x
+        cheaper) or "highest" (bf16x6). Differential tests pin HIGH to
+        the native f64 oracle."""
+        if tiers is None:
+            tiers = ((3, 6, 6, small_rows_per_shot or 1.2),
+                     (7, 8, 8, (big_rows_per_shot or 0.3) * 0.6),
+                     (9, 10, 10, (big_rows_per_shot or 0.3) * 0.35),
+                     (11, 12, 12, (big_rows_per_shot or 0.3) * 0.25))
+        for lo, hi, K, _rps in tiers:
+            if not 2 < lo <= hi <= K <= 16:
+                raise ValueError(f"bad tier ({lo},{hi},{K}): need "
+                                 "2 < lo <= hi <= K <= 16 (the bitmask "
+                                 "DP is exponential in K)")
+        self.tiers = tiers = tuple(tiers)
+        k_big = max(t[2] for t in tiers)
         if max_slots < k_big:
-            raise ValueError("max_slots must be >= k_big")
+            raise ValueError("max_slots must be >= the largest tier K")
         self.graph = MatchingGraph.from_edges(n_detectors, edges, probs, obs)
         self.n_detectors = n_detectors
         self.chunk = chunk
         self.max_slots = MD = max_slots
-        self.k_small = k_small
         self.k_big = k_big
-        # row capacities are chunk-level budgets; overflowing them only
-        # FLAGS the affected shots (escalation), never truncates silently
-        cap_s = int(np.ceil(small_rows_per_shot * chunk))
-        cap_b = int(np.ceil(big_rows_per_shot * chunk))
-        self.small_capacity = cap_s = max(64, min(cap_s, chunk * MD))
-        self.big_capacity = cap_b = max(64, min(cap_b, chunk * MD))
 
         dist = jnp.asarray(self.graph.dist.astype(np.float32))   # (N+1,N+1)
         par = jnp.asarray(self.graph.parity.astype(np.float32))
         N = n_detectors
-        tab_s = _build_level_tables(k_small)
-        tab_b = _build_level_tables(k_big)
-        KS, KB = k_small, k_big
-        HI = jax.lax.Precision.HIGHEST
+        tier_tabs = [(lo, hi, K, _build_level_tables(K),
+                      max(64, min(int(np.ceil(rps * chunk)), chunk * MD)))
+                     for lo, hi, K, rps in tiers]
+        self.tier_capacities = {(lo, hi): cap
+                                for lo, hi, _, _, cap in tier_tabs}
+        HI = {"high": jax.lax.Precision.HIGH,
+              "highest": jax.lax.Precision.HIGHEST}[precision]
 
         def comp_rows_dp(sel_flat, PD, PP, member, size,
                          lo, hi, K, tables, cap):
@@ -203,31 +218,27 @@ class ClusterMatcherTPU:
                 jnp.clip(partner, 0, MD - 1)[:, :, None], axis=2)[:, :, 0]
             p2 = jnp.sum(jnp.where(is_root2, pr2, 0), axis=1)
             parity = (p1 + p2) & 1
-            # --- 5. DP rows for size 3..KS and KS+1..KB components ---
-            flat36 = ((size >= 3) & (size <= KS)).astype(jnp.float32)
-            flat7b = ((size > KS) & (size <= KB)).astype(jnp.float32)
-            sc36, sel36 = jax.lax.top_k(flat36.reshape(S * MD), cap_s)
-            sc7b, sel7b = jax.lax.top_k(flat7b.reshape(S * MD), cap_b)
-            rp_s, sid_s, ok_s = comp_rows_dp(sel36, PD, PP, member,
-                                             size, 3, KS, KS, tab_s, cap_s)
-            rp_b, sid_b, ok_b = comp_rows_dp(sel7b, PD, PP, member,
-                                             size, KS + 1, KB, KB, tab_b,
-                                             cap_b)
-            parity = parity ^ (jnp.zeros((S,), jnp.int32)
-                               .at[sid_s].add(rp_s & 1)
-                               .at[sid_b].add(rp_b & 1) & 1)
+            # --- 5. DP rows per size-class tier ---
+            dp_par = jnp.zeros((S,), jnp.int32)
+            starved = jnp.zeros((S,), bool)
+            covered = (size <= 2)
+            for lo, hi, K, tabs, cap in tier_tabs:
+                in_tier = (size >= lo) & (size <= hi)
+                covered = covered | in_tier
+                flat = in_tier.astype(jnp.float32)
+                _, sel = jax.lax.top_k(flat.reshape(S * MD), cap)
+                rp, sid, ok = comp_rows_dp(sel, PD, PP, member, size,
+                                           lo, hi, K, tabs, cap)
+                dp_par = dp_par.at[sid].add(rp & 1)
+                n_want = jnp.sum(in_tier.astype(jnp.int32), axis=1)
+                served = jnp.zeros((S,), jnp.int32).at[sid].add(
+                    ok.astype(jnp.int32))
+                starved = starved | (served < n_want)
+            parity = parity ^ (dp_par & 1)
             # --- 6. escalation flags ---
-            # rows wanted beyond capacity: candidates not served
-            n36 = jnp.sum(flat36.astype(jnp.int32), axis=1)
-            n7b = jnp.sum(flat7b.astype(jnp.int32), axis=1)
-            served36 = jnp.zeros((S,), jnp.int32).at[sid_s].add(
-                ok_s.astype(jnp.int32))
-            served7b = jnp.zeros((S,), jnp.int32).at[sid_b].add(
-                ok_b.astype(jnp.int32))
             ovf = ((nd > MD)
-                   | jnp.any(size > KB, axis=1)
-                   | (served36 < n36)
-                   | (served7b < n7b))
+                   | jnp.any((size > 0) & ~covered, axis=1)
+                   | starved)
             return parity, ovf
 
         self._fn = jax.jit(decode_chunk)

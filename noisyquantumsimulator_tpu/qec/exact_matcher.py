@@ -87,13 +87,18 @@ def _build_level_tables(K: int):
     return tables
 
 
-def _sel(x, M):
-    """Exact static gather as a one-hot matmul: x (S, A) @ M (A, B)."""
+def _sel(x, M, precision=jax.lax.Precision.HIGHEST):
+    """Exact static gather as a one-hot matmul: x (S, A) @ M (A, B).
+
+    HIGHEST is required for bit-exactness: bf16x3 (HIGH) drops the
+    a3*b1 cross term, so even a one-hot copy loses ~8 mantissa bits
+    (measured: 1/65k parity flips vs the native f64 decoder at d=7)."""
     return jax.lax.dot_general(x, M, (((1,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=precision)
 
 
-def _slot_tables(dets, dist, parity, K: int):
+def _slot_tables(dets, dist, parity, K: int,
+                 precision=jax.lax.Precision.HIGHEST):
     """Per-shot slot weight/parity tables for the bitmask DP.
 
     Defect slots, lowest index first. The slot one-hot is built directly
@@ -121,17 +126,17 @@ def _slot_tables(dets, dist, parity, K: int):
     # slower than the whole matmul DP on TPU)
     oh = jnp.concatenate([oh_det, (1.0 - filled)[:, :, None]],
                          axis=2)                           # (S, K, N+1)
-    T = jnp.einsum("skn,nm->skm", oh, dist,
-                   precision=jax.lax.Precision.HIGHEST)
+    T = jnp.einsum("skn,nm->skm", oh, dist, precision=precision)
     Wm = jnp.einsum("skm,slm->skl", T, oh,
-                    precision=jax.lax.Precision.HIGHEST)     # (S, K, K)
+                    precision=precision)                     # (S, K, K)
     Tp = jnp.einsum("skn,nm->skm", oh, parity.astype(dist.dtype),
-                    precision=jax.lax.Precision.HIGHEST)
-    Pm = jnp.einsum("skm,slm->skl", Tp, oh,
-                    precision=jax.lax.Precision.HIGHEST)
-    Wb = _sel(oh.reshape(S * K, -1), dist[:, B][:, None]).reshape(S, K)
+                    precision=precision)
+    Pm = jnp.einsum("skm,slm->skl", Tp, oh, precision=precision)
+    Wb = _sel(oh.reshape(S * K, -1), dist[:, B][:, None],
+              precision).reshape(S, K)
     Pb = _sel(oh.reshape(S * K, -1),
-              parity[:, B].astype(dist.dtype)[:, None]).reshape(S, K)
+              parity[:, B].astype(dist.dtype)[:, None],
+              precision).reshape(S, K)
     return oh_det, Wm, Pm, Wb, Pb
 
 
@@ -139,6 +144,31 @@ def _dp_decode(dets, dist, parity, tables, K: int):
     """dets (S, n_det) uint8 -> exact matching observable parity (S,)."""
     _, Wm, Pm, Wb, Pb = _slot_tables(dets, dist, parity, K)
     return _dp_from_tables(Wm, Pm, Wb, Pb, tables, K)
+
+
+def _fused_level_tables(tables, K: int):
+    """Stack each level's dp-gather and weight-selection one-hots into
+    ONE matrix per move type: M_bnd = [G_bnd; S_bi] and
+    M_pair = [G_pair; S_ij]. A single matmul then computes
+    gather(dp) + select(w) — the DP's sum — directly; parities ride the
+    same matrices on extra batch rows and come back as exact 0/1/2
+    counts (xor = sum mod 2). This matters because the level loop is
+    LATENCY-bound on TPU (K=12 means 12 sequential levels; at 6 small
+    matmuls each the chunk decode was dispatch-dominated): fusing cuts
+    the sequential matmul count 3x. Cached on the tables list."""
+    key = "fused"
+    if tables and key in tables[0]:
+        return [t[key] for t in tables]
+    out = []
+    for k, t in enumerate(tables, start=1):
+        M_bnd = np.concatenate([t["G_bnd"], t["S_bi"]], axis=0)
+        M_pair = (np.concatenate([t["G_pair"], t["S_ij"]], axis=0)
+                  if k >= 2 else None)
+        f = dict(M_bnd=M_bnd, M_pair=M_pair, pair_ok=t["pair_ok"],
+                 size=t["size"])
+        t[key] = f
+        out.append(f)
+    return out
 
 
 def _dp_from_tables(Wm, Pm, Wb, Pb, tables, K: int):
@@ -149,15 +179,22 @@ def _dp_from_tables(Wm, Pm, Wb, Pb, tables, K: int):
     callers that already hold per-defect distances (the cluster
     decomposition decoder routes component members here without paying
     the (S, K, n_det) one-hot einsums again) share one DP implementation
-    with _dp_decode. Returns the (S,) int32 matching observable parity."""
+    with _dp_decode. Returns the (S,) int32 matching observable parity.
+
+    Level recurrence, fused (see _fused_level_tables): per level one
+    (2S, L1+K) @ (L1+K, L) matmul serves the boundary move's cost AND
+    parity, one (2S, L2+K^2) @ (.., L*W) the pair move's. Each output
+    element sums exactly two one-hot-selected f32 values; at HIGHEST
+    the matmul accumulation equals the explicit f32 add bit-for-bit.
+    Parities accumulate as integer counts, reduced mod 2 at the end of
+    each level (counts stay <= 2, exact in f32)."""
     S = Wm.shape[0]
     W = K - 1
     dist = Wm  # dtype carrier only
+    big = jnp.asarray(np.float32(1e18), dist.dtype)
     Wm_flat = Wm.reshape(S, K * K)
     Pm_flat = Pm.reshape(S, K * K)
-
-    def xor_f(a, b):                                       # {0.,1.} floats
-        return a + b - 2.0 * a * b
+    fused = _fused_level_tables(tables, K)
 
     def first_min_parity(cost, par):
         """(min cost, parity of the FIRST minimizer) along the last axis
@@ -172,21 +209,22 @@ def _dp_from_tables(Wm, Pm, Wb, Pb, tables, K: int):
     dp_prev2 = None
     dp_prev1 = (jnp.zeros((S, 1), dist.dtype), jnp.zeros((S, 1), dist.dtype))
     for k in range(1, K + 1):
-        t = tables[k - 1]
+        t = fused[k - 1]
         L = t["size"]
-        cost_b = _sel(dp_prev1[0], jnp.asarray(t["G_bnd"])) \
-            + _sel(Wb, jnp.asarray(t["S_bi"]))             # (S, L)
-        par_b = xor_f(_sel(dp_prev1[1], jnp.asarray(t["G_bnd"])),
-                      _sel(Pb, jnp.asarray(t["S_bi"])))
+        xb = jnp.concatenate([
+            jnp.concatenate([dp_prev1[0], Wb], axis=1),
+            jnp.concatenate([dp_prev1[1], Pb], axis=1)], axis=0)  # (2S, .)
+        yb = _sel(xb, jnp.asarray(t["M_bnd"]))             # (2S, L)
+        cost_b = yb[:S]
+        par_b = yb[S:] % 2.0
         if k >= 2:
-            Gp = jnp.asarray(t["G_pair"])                  # (L2, L*W)
-            Sij = jnp.asarray(t["S_ij"])                   # (K*K, L*W)
             ok = jnp.asarray(t["pair_ok"])                 # (L, W)
-            cost_p = (_sel(dp_prev2[0], Gp)
-                      + _sel(Wm_flat, Sij)).reshape(S, L, W)
-            par_p = xor_f(_sel(dp_prev2[1], Gp),
-                          _sel(Pm_flat, Sij)).reshape(S, L, W)
-            big = jnp.asarray(np.float32(1e18), dist.dtype)
+            xp = jnp.concatenate([
+                jnp.concatenate([dp_prev2[0], Wm_flat], axis=1),
+                jnp.concatenate([dp_prev2[1], Pm_flat], axis=1)], axis=0)
+            yp = _sel(xp, jnp.asarray(t["M_pair"]))        # (2S, L*W)
+            cost_p = yp[:S].reshape(S, L, W)
+            par_p = (yp[S:] % 2.0).reshape(S, L, W)
             cost_p = jnp.where(ok[None], cost_p, big)
             cbest, pbest = first_min_parity(cost_p, par_p)
             use_b = cost_b <= cbest
@@ -310,9 +348,13 @@ def _dp_decode_trace(dets, dist, parity, tables, K: int):
         return mask, par, match
 
     mask, par, match = jax.lax.fori_loop(0, K, body, (mask0, par0, match0))
+    # HIGHEST, not the bf16 default: detector indices above 256 are not
+    # exactly representable in bf16, and a one-off index silently corrupts
+    # the window bookkeeping built on det_idx at n_det > 256 (d >= 9)
     det_idx = jnp.round(
         jnp.einsum("skn,n->sk", oh_det,
-                   jnp.arange(n_det, dtype=dist.dtype))
+                   jnp.arange(n_det, dtype=dist.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
         + (1.0 - jnp.sum(oh_det, axis=2)) * n_det).astype(jnp.int32)
     return par, match, det_idx
 
