@@ -342,7 +342,8 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     edges, eprobs, eobs = dem_to_edges(build_dem(circuit))
     nat = (NativeMatchingDecoder(circuit.n_detectors, edges, eprobs, eobs)
            if native_available() else None)
-    cap = min(decode_shots, max(decode_shots // 16, 64))
+    # escalation fetch capacity: d=11 cluster flags reach ~10% of shots
+    cap = min(decode_shots, max(decode_shots // 8, 64))
     if d <= 7:
         chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
@@ -353,24 +354,23 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
                         + (" + host exact cluster decode of >K-defect "
                            "shots" if nat else ""))
     else:
-        from noisyquantumsimulator_tpu.qec.surface_code import (
-            memory_z_detector_rounds)
-        from noisyquantumsimulator_tpu.qec.window_matcher import (
-            window_matcher_for_circuit)
-        # W=7/C=3: 4-round commit buffer -> oracle-parity windowed p_L
-        # (decoder_accuracy.json) at the best measured throughput (171k
-        # shots/s decoder-only at d=11, cap=256/chunk=4096 — W5-geometry
-        # 5-window jits also crash the tunneled TPU worker)
-        chunk = min(4096, decode_shots)
-        dec = window_matcher_for_circuit(
-            circuit, memory_z_detector_rounds(d, rounds),
-            window_rounds=7, commit_rounds=3, max_defects=K, chunk=chunk,
-            k_light=6, heavy_capacity=max(chunk // 16, 64),
-            greedy_fallback=0 if nat else 32)
-        decoder_name = ("on-device sliding-window exact MWPM "
-                        f"(W=7 rounds, commit 3, K=6/{K} tiered per window)"
+        from noisyquantumsimulator_tpu.qec.cluster_matcher import (
+            ClusterMatcherTPU)
+        # on-device exact cluster decomposition (cluster_matcher.py):
+        # whole-shot true MWPM whenever every spatial component fits the
+        # size-class DP budgets; shots holding a bigger component raise
+        # the per-shot flag (~1.3% at d=9, p=1e-3) and are re-decoded
+        # exactly on the host (or keep their in-budget component decode
+        # when the native library is absent)
+        chunk = min(4096 if circuit.n_detectors <= 512 else 2048,
+                    decode_shots)
+        dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
+                                chunk=chunk)
+        decoder_name = ("on-device exact cluster decomposition "
+                        "(K=6/8/10/12 size-class DPs)"
                         + (" + host exact cluster decode of flagged shots"
-                           if nat else " + greedy-32 fallback tier"))
+                           if nat else " (flagged shots keep the partial "
+                           "device decode)"))
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def e2e(key):

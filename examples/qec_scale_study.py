@@ -78,7 +78,8 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     else:
         from noisyquantumsimulator_tpu.qec.cluster_matcher import (
             ClusterMatcherTPU)
-        chunk = min(4096, decode_shots)
+        chunk = min(4096 if circuit.n_detectors <= 512 else 2048,
+                    decode_shots)
         dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
                                 chunk=chunk)
         decoder_name = ("on-device exact cluster decomposition "

@@ -14,9 +14,13 @@ so per-component exact DPs with SMALL budgets decode whole shots exactly
 — no windows, no carry bookkeeping, no per-window K=12 sweeps.
 
 Device pipeline (one jitted call per chunk):
-  1. compact each shot's defects into MD slots (rank scatter),
+  1. compact each shot's defects into MD slots — the slot one-hot comes
+     straight from the cumsum-rank compare (NO scatter: a (S, n_det)
+     index scatter measured 15.6 ms/chunk on v5e, ~45% of the decode),
   2. build the (S, MD+1, MD+1) slot distance/parity tables incl. the
-     boundary column via one-hot matmuls on the MXU (exact f32 copies),
+     boundary column via one-hot matmuls on the MXU (HIGHEST: exact f32
+     copies; DEFAULT-pass dots here crash the tunneled v5e worker under
+     lax.map — see the in-code note),
   3. adjacency + transitive closure (log2(MD) batched boolean matmuls)
      -> per-slot component root = min reachable slot index,
   4. size-1 components: boundary parity, size-2: pair parity (for a
@@ -81,7 +85,6 @@ class ClusterMatcherTPU:
     def __init__(self, n_detectors: int, edges: np.ndarray,
                  probs: np.ndarray, obs: np.ndarray,
                  max_slots: int = 32, tiers=None, chunk: int = 4096,
-                 precision: str = "high",
                  small_rows_per_shot: float | None = None,
                  big_rows_per_shot: float | None = None):
         """tiers: ((lo, hi, K, rows_per_shot), ...) size-class DP routing;
@@ -92,15 +95,17 @@ class ClusterMatcherTPU:
         notes); starved capacities FLAG shots, never truncate. The
         legacy small/big_rows_per_shot kwargs scale the K=6 / K>6 tiers.
 
-        precision: matmul passes for the one-hot table copies — "high"
-        (bf16x3, exact reconstruction of f32 one-hot selections, 2x
-        cheaper) or "highest" (bf16x6). Differential tests pin HIGH to
-        the native f64 oracle."""
+        Every one-hot copy in the pipeline is EXACT (HIGHEST-precision
+        matmuls) — differential tests pin the whole pipeline to the
+        native f64 oracle."""
         if tiers is None:
+            # three size classes: each DP's level loop is LATENCY-bound
+            # at realistic row counts (~12 x 2 sequential matmuls for
+            # K=12 regardless of rows), so fewer, wider tiers beat a
+            # finer size split (measured: 4-tier == 2-tier wall time)
             tiers = ((3, 6, 6, small_rows_per_shot or 1.2),
-                     (7, 8, 8, (big_rows_per_shot or 0.3) * 0.6),
-                     (9, 10, 10, (big_rows_per_shot or 0.3) * 0.35),
-                     (11, 12, 12, (big_rows_per_shot or 0.3) * 0.25))
+                     (7, 8, 8, (big_rows_per_shot or 0.45) * 0.5),
+                     (9, 12, 12, (big_rows_per_shot or 0.45) * 0.5))
         for lo, hi, K, _rps in tiers:
             if not 2 < lo <= hi <= K <= 16:
                 raise ValueError(f"bad tier ({lo},{hi},{K}): need "
@@ -116,7 +121,11 @@ class ClusterMatcherTPU:
         self.max_slots = MD = max_slots
         self.k_big = k_big
 
-        dist = jnp.asarray(self.graph.dist.astype(np.float32))   # (N+1,N+1)
+        dist_np = self.graph.dist.astype(np.float32)             # (N+1,N+1)
+        # unreachable pairs: finite sentinel (same convention as the
+        # native decoder's C++ tables; inf-inf would NaN under algebra)
+        dist_np[~np.isfinite(dist_np)] = np.float32(1e18)
+        dist = jnp.asarray(dist_np)
         par = jnp.asarray(self.graph.parity.astype(np.float32))
         N = n_detectors
         tier_tabs = [(lo, hi, K, _build_level_tables(K),
@@ -124,8 +133,7 @@ class ClusterMatcherTPU:
                      for lo, hi, K, rps in tiers]
         self.tier_capacities = {(lo, hi): cap
                                 for lo, hi, _, _, cap in tier_tabs}
-        HI = {"high": jax.lax.Precision.HIGH,
-              "highest": jax.lax.Precision.HIGHEST}[precision]
+        HI = jax.lax.Precision.HIGHEST
 
         def comp_rows_dp(sel_flat, PD, PP, member, size,
                          lo, hi, K, tables, cap):
@@ -170,25 +178,29 @@ class ClusterMatcherTPU:
             bits = dets.astype(jnp.int32)
             nd = jnp.sum(bits, axis=1)                     # (S,)
             rank = jnp.cumsum(bits, axis=1) * bits         # 1-based
-            rows = jnp.arange(S, dtype=jnp.int32)[:, None]
-            # --- 1. slot compaction: detector index per slot ---
-            slot = jnp.where(bits > 0, rank - 1, MD)
-            det_idx = jnp.full((S, MD + 1), -1, jnp.int32)
-            det_idx = det_idx.at[rows, jnp.clip(slot, 0, MD)].max(
-                jnp.where(bits > 0, jnp.arange(dets.shape[1],
-                                               dtype=jnp.int32)[None, :], -1))
-            det_idx = det_idx[:, :MD]                      # (S, MD); -1 unset
-            valid = jnp.arange(MD, dtype=jnp.int32)[None, :] < \
-                jnp.minimum(nd, MD)[:, None]
-            # --- 2. slot tables incl. boundary (one-hot MXU copies) ---
-            # slot -> detector one-hot; invalid slots AND the extra
-            # boundary slot map to the boundary row N
-            di_ext = jnp.concatenate(
-                [jnp.where(valid, det_idx, N),
-                 jnp.full((S, 1), N, jnp.int32)], axis=1)  # (S, MD+1)
-            oh = (di_ext[:, :, None] ==
-                  jnp.arange(N + 1, dtype=jnp.int32)[None, None, :]
-                  ).astype(jnp.float32)                    # (S, MD+1, N+1)
+            # --- 1+2. slot one-hot + tables (one-hot MXU copies) ---
+            # the slot -> detector one-hot comes straight from the rank
+            # compare (slot k holds the (k+1)-th set bit) — NO scatter:
+            # a (S, n_det) -> (S, MD) index scatter measured 15.6 ms per
+            # 4096-chunk on v5e, ~45% of the whole decode. Invalid slots
+            # (rank never matches) and the appended boundary slot get the
+            # boundary column N, exactly _slot_tables' convention.
+            ks1 = jnp.arange(1, MD + 1, dtype=jnp.int32)
+            oh_det = (rank[:, None, :] == ks1[None, :, None]
+                      ).astype(jnp.float32)                # (S, MD, n_det)
+            filled = jnp.sum(oh_det, axis=2)               # (S, MD) 0/1
+            valid = filled > 0.5
+            oh_slots = jnp.concatenate(
+                [jnp.pad(oh_det, ((0, 0), (0, 0), (0, 1))),
+                 jnp.zeros((S, 1, N + 1), jnp.float32)], axis=1)
+            oh = oh_slots.at[:, :MD, N].set(1.0 - filled).at[:, MD, N].set(
+                1.0)                                       # (S, MD+1, N+1)
+            # NOTE: a 3-plane bf16 split of dist would make these exact
+            # at DEFAULT passes (probed correct AND fast standalone),
+            # but any DEFAULT-precision dot in this pipeline under
+            # jax.lax.map deterministically crashes the tunneled v5e
+            # worker (kernel fault; optimization_barrier does not help —
+            # probed 2026-08). HIGHEST everywhere is the stable form.
             T = jnp.einsum("skn,nm->skm", oh, dist, precision=HI)
             PD = jnp.einsum("skm,slm->skl", T, oh, precision=HI)
             Tp = jnp.einsum("skn,nm->skm", oh, par, precision=HI)
@@ -196,26 +208,38 @@ class ClusterMatcherTPU:
             D = PD[:, :MD, :MD]                            # (S, MD, MD)
             db = PD[:, :MD, MD]                            # (S, MD)
             # --- 3. components under D(i,j) < D(i,B) + D(j,B) ---
+            # exact TIES (= in f64) are the common case in surface-code
+            # graphs (equal-weight edge paths); the native rule excludes
+            # them (strict <), but f32 rounding flips half into spurious
+            # edges, merging components past the DP budget (measured:
+            # d=11 flag rate 26% vs the true 8%). The relative tolerance
+            # re-excludes ties; a genuinely beneficial pair with margin
+            # below ~1e-5 relative would be split at a cost bounded by
+            # that margin (edge-weight margins in real DEMs are either 0
+            # or O(1), so this is the tie rule, not an approximation).
+            bsum = db[:, :, None] + db[:, None, :]
             pairv = valid[:, :, None] & valid[:, None, :]
-            adj = (D < db[:, :, None] + db[:, None, :]) & pairv
+            adj = (D < bsum - 1e-5 * bsum) & pairv
             adj = adj & ~jnp.eye(MD, dtype=bool)[None]
             root = _closure_root(adj, valid, MD)           # (S, MD)
             ks = jnp.arange(MD, dtype=jnp.int32)
             member = (root[:, :, None] == ks[None, None, :]).transpose(
                 (0, 2, 1)) & valid[:, None, :]             # (S, r, k)
             size = jnp.sum(member.astype(jnp.int32), axis=2)   # (S, MD)
-            size_of = jnp.where(valid, jnp.take_along_axis(
-                size, jnp.clip(root, 0, MD - 1), axis=1), 0)   # (S, k)
             # --- 4. analytic size-1 / size-2 components ---
+            # mask-sums, not take_along_axis: (S, MD)-indexed gathers on
+            # TPU cost more than the whole (S, MD, MD) elementwise pass
+            size_of = jnp.sum(member * size[:, :, None], axis=1)  # (S, k)
             p1 = jnp.sum(jnp.where((size_of == 1) & valid,
                                    jnp.round(PP[:, :MD, MD]).astype(
                                        jnp.int32), 0), axis=1)
             is_root2 = (size == 2)                          # root slots
             partner = jnp.sum(jnp.where(member, ks[None, None, :], 0),
                               axis=2) - ks[None, :]         # (S, r)
-            pr2 = jnp.take_along_axis(
-                jnp.round(PP[:, :MD, :MD]).astype(jnp.int32),
-                jnp.clip(partner, 0, MD - 1)[:, :, None], axis=2)[:, :, 0]
+            pmask = (ks[None, None, :] == partner[:, :, None])
+            pr2 = jnp.sum(jnp.where(
+                pmask, jnp.round(PP[:, :MD, :MD]).astype(jnp.int32), 0),
+                axis=2)                                     # (S, r)
             p2 = jnp.sum(jnp.where(is_root2, pr2, 0), axis=1)
             parity = (p1 + p2) & 1
             # --- 5. DP rows per size-class tier ---
@@ -330,11 +354,16 @@ class EscalatingClusterMatcher:
         return self.cluster.overflow_fraction(detectors)
 
 
-def cluster_matcher_for_circuit(circuit, chunk: int = 4096,
+def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
                                 escalating: bool = False, **kw):
     from .dem import build_dem, dem_to_edges
     dem = build_dem(circuit)
     edges, probs, obs = dem_to_edges(dem)
+    if chunk is None:
+        # the (S, MD+1, n_det+1) slot one-hot and its einsum intermediate
+        # scale with n_det; 4096-shot chunks crash the tunneled v5e
+        # worker at n_det ~ 720 (d=11) — halve the chunk there
+        chunk = 4096 if circuit.n_detectors <= 512 else 2048
     cls = EscalatingClusterMatcher if escalating else ClusterMatcherTPU
     return cls(circuit.n_detectors, edges, probs, obs, chunk=chunk, **kw)
 

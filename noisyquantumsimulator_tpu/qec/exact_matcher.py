@@ -206,6 +206,12 @@ def _dp_from_tables(Wm, Pm, Wb, Pb, tables, K: int):
         return cbest, pbest
 
     # dp over popcount levels; level 0 = empty set; parities ride as floats
+    # NOTE on precision: parities (0/1 operands) would be exact at a
+    # single DEFAULT bf16 pass, but mixed-precision dots in this loop
+    # under jax.lax.map deterministically crash the tunneled v5e worker
+    # (kernel fault; plain pipelines and DEFAULT table einsums under map
+    # are fine — probed 2026-08). Parities therefore ride the cost
+    # matmul's extra batch rows at HIGHEST — the proven-stable form.
     dp_prev2 = None
     dp_prev1 = (jnp.zeros((S, 1), dist.dtype), jnp.zeros((S, 1), dist.dtype))
     for k in range(1, K + 1):

@@ -109,7 +109,8 @@ def run_memory(
         # exact cluster decomposition on device; circuit-agnostic (only
         # needs the DEM, not round labels)
         from .cluster_matcher import cluster_matcher_for_circuit
-        cchunk = min(4096, max(256, shots))
+        cchunk = min(4096 if circuit.n_detectors <= 512 else 2048,
+                     max(256, shots))
         dec = cluster_matcher_for_circuit(
             circuit, chunk=cchunk, escalating=decoder == "cluster_native")
     elif decoder in ("window", "window_native"):

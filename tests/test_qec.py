@@ -908,18 +908,22 @@ class TestWindowMatcher:
 
 
 class TestRunMemoryWindowRouting:
-    def test_auto_routes_large_d_to_window(self):
-        """run_memory's auto decoder must use sliding-window exact
-        matching at d >= 9 (fixed-budget DPs truncate there) and produce
-        a physical logical error rate."""
+    def test_auto_routes_large_d_to_cluster(self):
+        """run_memory's auto decoder must use on-device exact cluster
+        decomposition at d >= 9 (fixed-budget whole-shot DPs truncate
+        there) and produce a physical logical error rate."""
         from noisyquantumsimulator_tpu.qec.memory import run_memory
         r = run_memory(d=9, rounds=6, p=2e-3, shots=2048)
         # with the native library built the auto route escalates flagged
-        # shots to the host exact cluster decoder; plain "window" is the
-        # no-native fallback
+        # shots to the host exact cluster decoder; plain "cluster" is
+        # the no-native fallback (flags surfaced as overflow_fraction)
         from noisyquantumsimulator_tpu.qec.native import native_available
-        assert r.decoder == ("window_native" if native_available()
-                             else "window")
+        if native_available():
+            assert r.decoder == "cluster_native"
+            assert 0.0 <= r.extras["escalated_fraction"] < 0.5
+        else:
+            assert r.decoder == "cluster"
+            assert "overflow_fraction" in r.extras
         assert 0.0 <= r.p_logical_shot < 0.1
 
     def test_window_decoder_rejects_external_circuit(self):
