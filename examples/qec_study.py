@@ -107,12 +107,18 @@ def main():
                   f"p_L/shot={pls:.3e} ({sd} shots, native exact cluster "
                   "decode)", flush=True)
 
-    # Lambda at each p: suppression per distance step of 2
+    # Lambda at each p: suppression per distance step of 2. Steps whose
+    # larger-d cell measured ZERO errors are excluded from the mean (the
+    # ratio there is a shot-budget artifact, not a suppression factor).
     lambdas = {}
+    lambda_steps = {}
     for p in ps:
         ratios = [table[(ds[i], p)] / max(table[(ds[i + 1], p)], 1e-12)
                   for i in range(len(ds) - 1)]
-        lambdas[p] = float(np.mean(ratios))
+        ok = [r for i, r in enumerate(ratios)
+              if table[(ds[i + 1], p)] > 0]
+        lambdas[p] = float(np.mean(ok)) if ok else float("nan")
+        lambda_steps[p] = ratios
         print(f"p={p:.0e}: Lambda = {lambdas[p]:.2f} "
               f"(per-step: {[f'{r:.1f}' for r in ratios]})")
 
@@ -124,6 +130,7 @@ def main():
         "table": {f"d{d}_p{p}": v for (d, p), v in table.items()},
         "shots": {f"d{d}_p{p}": v for (d, p), v in shots_used.items()},
         "lambda": {str(p): v for p, v in lambdas.items()},
+        "lambda_per_step": {str(p): v for p, v in lambda_steps.items()},
         "teraquop_d": tq,
         "decoder": "native exact cluster decomposition (true MWPM; "
                    "uf_decoder.cpp mode=0)",
