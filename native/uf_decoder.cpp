@@ -863,11 +863,29 @@ extern "C" {
 void osd0_batch(const uint8_t* H, int m, int n,
                 const uint8_t* dets, const float* beliefs, int S,
                 uint8_t* out_e) {
+    // OSD-0 = Gauss-Jordan with pivot COLUMNS visited in ascending-belief
+    // order. The old form physically permuted H's columns into a fresh
+    // bit matrix per shot (~530k scattered byte reads; measured 1.5
+    // ms/shot on the gross-code DEM). Instead pack H once in natural
+    // column order, memcpy per shot, and just VISIT columns in belief
+    // order over an unused-row list — identical pivots, identical
+    // solution (tests pin bit-equality to the Python _osd0), ~30x less
+    // per-shot work.
     const int W = (n + 1 + 63) / 64;
+    std::vector<uint64_t> Hp(static_cast<size_t>(m) * W, 0);
+    for (int r = 0; r < m; ++r) {
+        const uint8_t* hrow = H + static_cast<size_t>(r) * n;
+        uint64_t* prow = Hp.data() + static_cast<size_t>(r) * W;
+        for (int c = 0; c < n; ++c)
+            if (hrow[c]) prow[c >> 6] |= (1ULL << (c & 63));
+    }
     std::vector<int> order(n);
     std::vector<uint64_t> A(static_cast<size_t>(m) * W);
-    std::vector<int> pivots;
-    pivots.reserve(m);
+    std::vector<int> unused(m);
+    std::vector<int> pivrow;
+    std::vector<int> pivcol;
+    pivrow.reserve(m);
+    pivcol.reserve(m);
 
     for (int s = 0; s < S; ++s) {
         const float* bel = beliefs + static_cast<size_t>(s) * n;
@@ -877,46 +895,48 @@ void osd0_batch(const uint8_t* H, int m, int n,
                       if (bel[a] != bel[b]) return bel[a] < bel[b];
                       return a < b;   // stable tie-break = np.argsort
                   });
-        std::fill(A.begin(), A.end(), 0);
+        std::memcpy(A.data(), Hp.data(),
+                    static_cast<size_t>(m) * W * sizeof(uint64_t));
+        const uint64_t sbit = 1ULL << (n & 63);
+        const int sw = n >> 6;
         for (int r = 0; r < m; ++r) {
-            const uint8_t* hrow = H + static_cast<size_t>(r) * n;
-            uint64_t* arow = A.data() + static_cast<size_t>(r) * W;
-            for (int c = 0; c < n; ++c)
-                if (hrow[order[c]])
-                    arow[c >> 6] |= (1ULL << (c & 63));
             if (dets[static_cast<size_t>(s) * m + r])
-                arow[n >> 6] |= (1ULL << (n & 63));
+                A[static_cast<size_t>(r) * W + sw] |= sbit;
+            unused[r] = r;
         }
-        pivots.clear();
-        int r = 0;
-        for (int c = 0; c < n && r < m; ++c) {
+        int n_unused = m;
+        pivrow.clear();
+        pivcol.clear();
+        for (int ci = 0; ci < n && n_unused > 0; ++ci) {
+            const int c = order[ci];
             const int w = c >> 6;
             const uint64_t bit = 1ULL << (c & 63);
-            int piv = -1;
-            for (int i = r; i < m; ++i)
-                if (A[static_cast<size_t>(i) * W + w] & bit) { piv = i; break; }
-            if (piv < 0) continue;
-            if (piv != r)
-                for (int k = 0; k < W; ++k)
-                    std::swap(A[static_cast<size_t>(r) * W + k],
-                              A[static_cast<size_t>(piv) * W + k]);
-            for (int i = 0; i < m; ++i) {
-                if (i == r) continue;
-                if (A[static_cast<size_t>(i) * W + w] & bit)
-                    for (int k = 0; k < W; ++k)
-                        A[static_cast<size_t>(i) * W + k] ^=
-                            A[static_cast<size_t>(r) * W + k];
+            int piv = -1, upos = -1;
+            for (int u = 0; u < n_unused; ++u) {
+                const int i = unused[u];
+                if (A[static_cast<size_t>(i) * W + w] & bit) {
+                    piv = i;
+                    upos = u;
+                    break;
+                }
             }
-            pivots.push_back(c);
-            ++r;
+            if (piv < 0) continue;
+            unused[upos] = unused[--n_unused];
+            const uint64_t* prow = A.data() + static_cast<size_t>(piv) * W;
+            for (int i = 0; i < m; ++i) {
+                if (i == piv) continue;
+                uint64_t* arow = A.data() + static_cast<size_t>(i) * W;
+                if (arow[w] & bit)
+                    for (int k = 0; k < W; ++k) arow[k] ^= prow[k];
+            }
+            pivrow.push_back(piv);
+            pivcol.push_back(c);
         }
         uint8_t* e = out_e + static_cast<size_t>(s) * n;
         std::fill(e, e + n, 0);
-        const int sw = n >> 6;
-        const uint64_t sbit = 1ULL << (n & 63);
-        for (size_t ri = 0; ri < pivots.size(); ++ri)
-            if (A[ri * W + sw] & sbit)
-                e[order[pivots[ri]]] = 1;
+        for (size_t ri = 0; ri < pivrow.size(); ++ri)
+            if (A[static_cast<size_t>(pivrow[ri]) * W + sw] & sbit)
+                e[pivcol[ri]] = 1;
     }
 }
 

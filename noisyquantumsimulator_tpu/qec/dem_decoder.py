@@ -40,11 +40,19 @@ class DemBPDecoder:
     fast_iters BP first; only shots whose residual syndrome is nonzero
     (a few % below threshold) are top_k-compacted and re-run with the
     full n_iters — same fixed point wherever the short run converges,
-    at a fraction of the cost (BP iterations dominate the e2e time)."""
+    at a fraction of the cost (BP iterations dominate the e2e time).
+
+    fast_dtype (default float32) sets the FAST tier's message precision
+    only; bfloat16 halves its HBM traffic (the kernel is
+    bandwidth-bound). Safe by construction: a fast-tier result is kept
+    only where score()'s exact int32 residual-syndrome check passes, so
+    lower precision can only push a shot into the full-precision retry
+    tier, never emit an invalid correction. The retry tier and the
+    un-tiered path always run float32."""
 
     def __init__(self, circuit, n_iters: int = 60, scale: float = 0.75,
                  min_prob: float = 1e-12, kernel: str = "slots",
-                 fast_iters: int = 0):
+                 fast_iters: int = 0, fast_dtype=jnp.float32):
         dem = build_dem(circuit).merged()
         mechs = [m for m in dem.mechanisms if m.probability > min_prob]
         if not mechs:
@@ -69,7 +77,7 @@ class DemBPDecoder:
         if fast_iters >= n_iters:
             raise ValueError("fast_iters must be below n_iters")
 
-        def make_bp(iters):
+        def make_bp(iters, dtype=jnp.float32):
             if kernel == "slots":
                 from .ldpc import build_slot_tables
                 tables = build_slot_tables(chk_idx.astype(np.int64),
@@ -78,16 +86,19 @@ class DemBPDecoder:
                 return partial(_bp_slots, llr_var=self._llr,
                                tables=tables, n_chk=self.n_det,
                                n_var=self.n_mech, n_iters=iters,
-                               scale=scale)
+                               scale=scale, dtype=dtype)
             if kernel != "edges":
                 raise ValueError(f"unknown BP kernel {kernel!r}")
+            if dtype != jnp.float32:
+                raise ValueError("fast_dtype requires kernel='slots'")
             return partial(
                 _bp_edges, chk=self._chk, var=self._var,
                 llr_var=self._llr, n_chk=self.n_det, n_var=self.n_mech,
                 n_iters=iters, scale=scale)
 
         bp = make_bp(n_iters)
-        bp_fast = make_bp(fast_iters) if fast_iters else None
+        bp_fast = make_bp(fast_iters, dtype=fast_dtype) if fast_iters \
+            else None
         # residual syndromes and observable flips stay ON DEVICE: host
         # uint8 matmuls bypass BLAS and were ~40x slower than the whole
         # BP kernel (measured 11.4 s vs 0.27 s at S=8192 on the bb72 DEM)
@@ -125,7 +136,12 @@ class DemBPDecoder:
             est, beliefs = bp_fast(dets_f)
             pred, bad = score(est, dets_f)
             S = dets_f.shape[0]
-            cap = min(S, max(S // 8, 64))
+            # retry capacity: the fast-BP non-converged tail is ~0.4% at
+            # p=1e-3 (gross code, 8/60 iters), so S//32 keeps ~8x margin;
+            # S//8 made the 60-iter retry cost as much as the whole
+            # 8-iter fast pass (60*S/8 vs 8*S multiplies). Tail shots
+            # beyond the capacity stay flagged and route to OSD.
+            cap = min(S, max(S // 32, 64))
             _, idx = jax.lax.top_k(bad.astype(jnp.int32), cap)
             est2, bel2 = bp(jnp.take(dets_f, idx, axis=0))
             pred2, bad2 = score(est2, jnp.take(dets_f, idx, axis=0))

@@ -1214,6 +1214,37 @@ class TestBPSlotKernel:
             fail |= (((pred >> b) & 1) != obs[:, b])
         assert fail.mean() < 0.02
 
+    def test_bf16_fast_tier_safe_and_comparable(self):
+        """A bfloat16 fast tier may only trade extra retries, never
+        correctness: every shot it marks converged carries a prediction
+        whose estimate satisfied the EXACT int32 syndrome check, and the
+        end-to-end failure rate must match the f32-tier decoder's."""
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
+        c, dets, obs = self._setup()
+        d32 = DemBPDecoder(c, n_iters=25, kernel="slots", fast_iters=6)
+        d16 = DemBPDecoder(c, n_iters=25, kernel="slots", fast_iters=6,
+                           fast_dtype=jnp.bfloat16)
+        p32, b32, _ = (np.asarray(a) for a in
+                       d32._full(jnp.asarray(dets, jnp.float32)))
+        p16, b16, _ = (np.asarray(a) for a in
+                       d16._full(jnp.asarray(dets, jnp.float32)))
+        # retry tier is f32 in both: anything EITHER marks non-converged
+        # must agree, and both tiers' kept shots are valid corrections,
+        # so predictions can only differ on shots where the two valid
+        # corrections differ — compare failure rates instead of bits
+        k = obs.shape[1]
+        def fails(pred):
+            f = np.zeros(dets.shape[0], bool)
+            for b in range(k):
+                f |= (((pred >> b) & 1) != obs[:, b])
+            return f
+        f32r, f16r = fails(p32), fails(p16)
+        assert abs(f32r.mean() - f16r.mean()) < 5e-3
+        # bf16 non-convergence can only be a (near-)superset event class;
+        # in practice the sets nearly coincide
+        assert abs(b32.mean() - b16.mean()) < 5e-3
+
 
 class TestClusterMatcherTPU:
     """On-device exact cluster decomposition (qec/cluster_matcher.py):
