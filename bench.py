@@ -355,17 +355,21 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
                            "shots" if nat else ""))
     else:
         from noisyquantumsimulator_tpu.qec.cluster_matcher import (
-            ClusterMatcherTPU)
+            ClusterMatcherTPU, default_tiers)
         # on-device exact cluster decomposition (cluster_matcher.py):
         # whole-shot true MWPM whenever every spatial component fits the
         # size-class DP budgets; shots holding a bigger component raise
-        # the per-shot flag (~1.3% at d=9, p=1e-3) and are re-decoded
-        # exactly on the host (or keep their in-budget component decode
-        # when the native library is absent)
-        chunk = min(4096 if circuit.n_detectors <= 512 else 2048,
-                    decode_shots)
+        # the per-shot flag (~0.5% at d=9, ~8% at d=11, p=1e-3) and are
+        # re-decoded exactly on the host (or keep their in-budget
+        # component decode when the native library is absent).
+        # max_slots=24 fits p~1e-3 defect counts to d~13 (nd > 24 shots
+        # flag to the same exact host path) and cuts every (S, MD, *)
+        # tensor ~40% vs the 32-slot default; with it the 4096-chunk is
+        # stable at d=11 too (the old 32-slot chunk had to halve there)
+        chunk = min(4096, decode_shots)
         dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
-                                chunk=chunk)
+                                chunk=chunk, max_slots=24,
+                                tiers=default_tiers(circuit.n_detectors))
         decoder_name = ("on-device exact cluster decomposition "
                         "(K=6/8/10/12 size-class DPs)"
                         + (" + host exact cluster decode of flagged shots"
@@ -373,57 +377,78 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
                            "device decode)"))
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
-    def e2e(key):
+    def sample_stage(key):
         o = sampler_dec(key)
-        dets = o["detectors"].astype(jnp.uint8)
-        S = dets.shape[0]
-        det_chunks = dets.reshape(S // chunk, chunk, -1)
-        if d <= 7:
-            preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
-            ovfs = jnp.sum(dets.astype(jnp.int32), axis=1) > K
-        else:
-            # windowed: over-budget windows flag the shot; flagged shots
-            # are re-decoded exactly on the host (or served by the
-            # greedy tier when the native library is absent)
-            preds, ovfs = jax.lax.map(dec.decode_device_with_overflow,
-                                      det_chunks)
-            preds = preds.reshape(S)
-            ovfs = ovfs.reshape(S)
-        obs = o["observables"][:, 0].astype(jnp.int32)
+        return o["detectors"].astype(jnp.uint8), \
+            o["observables"][:, 0].astype(jnp.int32)
+
+    def finalize(dets, obs, preds, ovfs):
         err = (preds ^ obs) & 1
         _, idx = jax.lax.top_k(ovfs.astype(jnp.int32), cap)
-        take = lambda a: jnp.take(a, idx, axis=0)  # noqa: E731
+        # bit-pack the escalation rows ON DEVICE: the tunneled fetch of
+        # (cap, n_det) uint8 measured ~14 MB/s — 0.84 s of a 2.2 s d=11
+        # rep — so ship bits, not bytes (8x smaller; np.unpackbits order)
+        n_det = circuit.n_detectors
+        n8 = -(-n_det // 8) * 8
+        bitw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+        dets_c = jnp.take(dets, idx, axis=0).astype(jnp.int32)
+        packed = jnp.sum(jnp.pad(dets_c, ((0, 0), (0, n8 - n_det))).reshape(
+            cap, n8 // 8, 8) * bitw[None, None, :], axis=2).astype(jnp.uint8)
         # without the native library the device prediction stands on
         # flagged shots too (greedy tier / truncated-K served them)
         n_err = (jnp.sum(err) if nat is None
                  else jnp.sum(jnp.where(ovfs, 0, err)))
-        return (n_err, jnp.sum(ovfs), take(dets), take(obs), take(ovfs))
+        return (n_err, jnp.sum(ovfs), packed,
+                jnp.take(obs, idx), jnp.take(ovfs, idx))
 
-    def escalate_host(dets_f, obs_f, ovf_f):
+    def escalate_host(packed_f, obs_f, ovf_f):
         """Exact cluster re-decode of the flagged rows; their errors."""
         sel = np_.asarray(ovf_f)
         if nat is None or not sel.any():
             # no native library: count the device prediction's errors on
             # flagged rows (greedy tier already served them)
             return 0
-        dets_h = np_.asarray(dets_f)[sel]
+        dets_h = np_.unpackbits(
+            np_.asarray(packed_f)[sel], axis=1)[:, :circuit.n_detectors]
         pred_h = nat.decode_batch_ex(dets_h, mode=0)["pred"] & 1
         return int(np_.sum(pred_h != (np_.asarray(obs_f)[sel] & 1)))
 
-    e2e_j = jax.jit(e2e)
+    # sample + finalize are single jits; the decode chunks are driven
+    # from a HOST loop (async dispatch pipelines them — measured equal
+    # to lax.map — and the cluster decoder's sub-f32 table dots crash
+    # the tunneled v5e worker under lax.map)
+    sample_j = jax.jit(sample_stage)
+    finalize_j = jax.jit(finalize)
+    S = decode_shots
+    n_ch = S // chunk
+
+    def e2e_j(key):
+        dets, obs = sample_j(key)
+        if d <= 7:
+            outs = [dec.decode_device(dets[i * chunk:(i + 1) * chunk])
+                    for i in range(n_ch)]
+            preds = jnp.concatenate(outs)
+            ovfs = jnp.sum(dets.astype(jnp.int32), axis=1) > K
+        else:
+            outs = [dec.decode_device_with_overflow(
+                dets[i * chunk:(i + 1) * chunk]) for i in range(n_ch)]
+            preds = jnp.concatenate([p for p, _ in outs])
+            ovfs = jnp.concatenate([o for _, o in outs])
+        return finalize_j(dets, obs, preds, ovfs)
+
     int(e2e_j(jax.random.PRNGKey(100))[0])  # fence
     reps_d = 3
     t0 = time.perf_counter()
     errs = ovf = 0
     for r in range(reps_d):
-        n_err, n_ovf, dets_f, obs_f, ovf_f = e2e_j(
+        n_err, n_ovf, packed_f, obs_f, ovf_f = e2e_j(
             jax.random.PRNGKey(200 + r))
         if nat is not None and int(n_ovf) > cap:
             # flagged shots beyond the fetch cap would keep (uncounted)
             # window predictions — refuse to publish a silent undercount
             raise RuntimeError(
                 f"escalation fetch cap {cap} < flagged {int(n_ovf)}")
-        errs += int(n_err) + escalate_host(dets_f, obs_f, ovf_f)
+        errs += int(n_err) + escalate_host(packed_f, obs_f, ovf_f)
         ovf += int(n_ovf)
     dt_d = time.perf_counter() - t0
     n_dec = decode_shots * reps_d

@@ -77,37 +77,59 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
                         "escalation of >12-defect shots")
     else:
         from noisyquantumsimulator_tpu.qec.cluster_matcher import (
-            ClusterMatcherTPU)
-        chunk = min(4096 if circuit.n_detectors <= 512 else 2048,
-                    decode_shots)
+            ClusterMatcherTPU, default_tiers)
+        chunk = min(4096, decode_shots)
         dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
-                                chunk=chunk)
+                                chunk=chunk, max_slots=24,
+                                tiers=default_tiers(circuit.n_detectors))
         decoder_name = ("on-device exact cluster decomposition "
                         "(K=6/8/10/12 size-class DPs) + host "
                         "cluster-exact escalation of flagged shots")
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
-    def e2e(key):
+    def sample_stage(key):
         o = sampler_dec(key)
-        dets = o["detectors"].astype(jnp.uint8)
-        S = dets.shape[0]
-        det_chunks = dets.reshape(S // chunk, chunk, -1)
-        if d <= 7:
-            preds = jax.lax.map(dec.decode_device, det_chunks).reshape(S)
-            ovfs = jnp.sum(dets.astype(jnp.int32), axis=1) > K
-        else:
-            preds, ovfs = jax.lax.map(dec.decode_device_with_overflow,
-                                      det_chunks)
-            preds = preds.reshape(S)
-            ovfs = ovfs.reshape(S)
-        obs = o["observables"][:, 0].astype(jnp.int32)
+        return o["detectors"].astype(jnp.uint8), \
+            o["observables"][:, 0].astype(jnp.int32)
+
+    n_det = circuit.n_detectors
+    n8 = -(-n_det // 8) * 8
+
+    def finalize(dets, obs, preds, ovfs):
         err = (preds ^ obs) & 1
         _, idx = jax.lax.top_k(ovfs.astype(jnp.int32), cap)
-        take = lambda a: jnp.take(a, idx, axis=0)  # noqa: E731
+        # bit-pack escalation rows on device: the tunneled fetch of raw
+        # (cap, n_det) uint8 measured ~14 MB/s (0.84 s/rep at d=11)
+        bitw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+        dets_c = jnp.take(dets, idx, axis=0).astype(jnp.int32)
+        packed = jnp.sum(
+            jnp.pad(dets_c, ((0, 0), (0, n8 - n_det))).reshape(
+                cap, n8 // 8, 8) * bitw[None, None, :],
+            axis=2).astype(jnp.uint8)
         return (jnp.sum(jnp.where(ovfs, 0, err)), jnp.sum(ovfs),
-                take(dets), take(obs), take(ovfs))
+                packed, jnp.take(obs, idx), jnp.take(ovfs, idx))
 
-    e2e_j = jax.jit(e2e)
+    # host-driven chunk loop: async dispatch pipelines the chunks like
+    # lax.map did, and the cluster decoder's sub-f32 table dots crash
+    # the tunneled v5e worker under lax.map (cluster_matcher.py note)
+    sample_j = jax.jit(sample_stage)
+    finalize_j = jax.jit(finalize)
+    n_ch = decode_shots // chunk
+
+    def e2e_j(key):
+        dets, obs = sample_j(key)
+        if d <= 7:
+            outs = [dec.decode_device(dets[i * chunk:(i + 1) * chunk])
+                    for i in range(n_ch)]
+            preds = jnp.concatenate(outs)
+            ovfs = jnp.sum(dets.astype(jnp.int32), axis=1) > K
+        else:
+            outs = [dec.decode_device_with_overflow(
+                dets[i * chunk:(i + 1) * chunk]) for i in range(n_ch)]
+            preds = jnp.concatenate([pp for pp, _ in outs])
+            ovfs = jnp.concatenate([oo for _, oo in outs])
+        return finalize_j(dets, obs, preds, ovfs)
+
     int(e2e_j(jax.random.PRNGKey(100))[0])  # warm-up fence
     # p_L shrinks ~5x per distance step with an exact decoder, so the
     # shot budget must GROW with d for the p_L column to carry meaning
@@ -117,7 +139,7 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     t0 = time.perf_counter()
     errs = ovf = errs_host = 0
     for r in range(reps_d):
-        n_err, n_ovf, dets_f, obs_f, ovf_f = e2e_j(
+        n_err, n_ovf, packed_f, obs_f, ovf_f = e2e_j(
             jax.random.PRNGKey(200 + r))
         sel = np.asarray(ovf_f)
         if int(n_ovf) > cap:
@@ -127,8 +149,9 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
                 f"escalation fetch cap {cap} < flagged {int(n_ovf)}; "
                 "raise cap")
         if sel.any():
-            pred_h = nat.decode_batch_ex(np.asarray(dets_f)[sel],
-                                         mode=0)["pred"] & 1
+            dets_h = np.unpackbits(np.asarray(packed_f)[sel],
+                                   axis=1)[:, :n_det]
+            pred_h = nat.decode_batch_ex(dets_h, mode=0)["pred"] & 1
             errs_host += int(np.sum(pred_h != (np.asarray(obs_f)[sel] & 1)))
         errs += int(n_err)
         ovf += int(n_ovf)

@@ -18,9 +18,10 @@ Device pipeline (one jitted call per chunk):
      straight from the cumsum-rank compare (NO scatter: a (S, n_det)
      index scatter measured 15.6 ms/chunk on v5e, ~45% of the decode),
   2. build the (S, MD+1, MD+1) slot distance/parity tables incl. the
-     boundary column via one-hot matmuls on the MXU (HIGHEST: exact f32
-     copies; DEFAULT-pass dots here crash the tunneled v5e worker under
-     lax.map — see the in-code note),
+     boundary column via one-hot matmuls on the MXU over truncated bf16
+     planes of dist (exact f32 reconstruction — _trunc_split3; these
+     sub-f32 dots crash the tunneled v5e worker under lax.map, so chunks
+     are driven from host loops — see the in-code note),
   3. adjacency + transitive closure (log2(MD) batched boolean matmuls)
      -> per-slot component root = min reachable slot index,
   4. size-1 components: boundary parity, size-2: pair parity (for a
@@ -57,6 +58,29 @@ from .exact_matcher import (_build_level_tables, _chunked_decode,
                             _dp_from_tables)
 
 
+def _trunc_split3(M):
+    """EXACT 3-way bf16 split of an f32 matrix by mantissa TRUNCATION.
+
+    Masking the low 16 bits keeps the top 8 significant bits, so the
+    three planes occupy non-overlapping bit ranges of the same sign:
+    every partial sum is exactly representable and m1+m2+m3 == M
+    bit-for-bit (8+8+8 = f32's 24 significant bits). Round-to-nearest
+    casts do NOT have this property — a probe measured half-ulp drift
+    on the reconstruction through a second selection stage.
+
+    Returns (m1, m2, m3) as bfloat16 (each value exactly representable)."""
+    def trunc(x):
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            u & np.uint32(0xFFFF0000), jnp.float32)
+    m1 = trunc(M)
+    r1 = M - m1
+    m2 = trunc(r1)
+    m3 = trunc(r1 - m2)                      # residual after m3 is 0
+    return (m1.astype(jnp.bfloat16), m2.astype(jnp.bfloat16),
+            m3.astype(jnp.bfloat16))
+
+
 def _closure_root(adj, valid, MD: int):
     """Transitive closure by repeated boolean matmul squaring; returns
     each slot's component root = min reachable slot index (S, MD)."""
@@ -86,32 +110,43 @@ class ClusterMatcherTPU:
                  probs: np.ndarray, obs: np.ndarray,
                  max_slots: int = 32, tiers=None, chunk: int = 4096,
                  small_rows_per_shot: float | None = None,
-                 big_rows_per_shot: float | None = None):
+                 big_rows_per_shot: float | None = None,
+                 cand_per_shot: int = 8):
         """tiers: ((lo, hi, K, rows_per_shot), ...) size-class DP routing;
         components of size lo..hi (hi <= K) go to a K-budget DP with a
         per-chunk row capacity of ceil(rows_per_shot * chunk). The
-        defaults are sized for p ~ 1e-3 memory circuits up to d ~ 13
-        (measured component-size distributions, examples/window_profile
-        notes); starved capacities FLAG shots, never truncate. The
-        legacy small/big_rows_per_shot kwargs scale the K=6 / K>6 tiers.
+        defaults are sized from MEASURED per-shot component-size
+        occupancy at p = 1e-3 (d=9: 0.41/0.053/0.034 per tier, d=11:
+        0.59/0.134/0.147 — /tmp-profiled, see docs/TPU_ENGINES.md) with
+        ~1.7x margin: DP cost scales linearly in capacity, and the old
+        uniform 1.2/0.11/0.11 defaults both starved tier 2-3 at d=11 and
+        paid ~2x dead rows at d<=9. Starved capacities FLAG shots, never
+        truncate. The legacy small/big_rows_per_shot kwargs scale the
+        K=6 / K>6 tiers. cand_per_shot bounds the per-shot DP-candidate
+        compaction (shots holding more size>=3 roots flag).
 
-        Every one-hot copy in the pipeline is EXACT (HIGHEST-precision
-        matmuls) — differential tests pin the whole pipeline to the
-        native f64 oracle."""
+        Every one-hot copy in the pipeline is EXACT — table dots select
+        truncated bf16 planes whose f32 sums reconstruct the f32 tables
+        bit-for-bit (_trunc_split3) — and differential tests pin the
+        whole pipeline to the native f64 oracle. Do NOT compose the
+        device decode under jax.lax.map on the tunneled v5e (sub-f32
+        dots under map crash the worker); decode_batch's host chunk
+        loop pipelines equally fast."""
         if tiers is None:
             # three size classes: each DP's level loop is LATENCY-bound
             # at realistic row counts (~12 x 2 sequential matmuls for
             # K=12 regardless of rows), so fewer, wider tiers beat a
             # finer size split (measured: 4-tier == 2-tier wall time)
-            tiers = ((3, 6, 6, small_rows_per_shot or 1.2),
-                     (7, 8, 8, (big_rows_per_shot or 0.45) * 0.5),
-                     (9, 12, 12, (big_rows_per_shot or 0.45) * 0.5))
+            tiers = ((3, 6, 6, small_rows_per_shot or 0.8),
+                     (7, 8, 8, (big_rows_per_shot or 0.5) * 0.5),
+                     (9, 12, 12, (big_rows_per_shot or 0.5) * 0.5))
         for lo, hi, K, _rps in tiers:
             if not 2 < lo <= hi <= K <= 16:
                 raise ValueError(f"bad tier ({lo},{hi},{K}): need "
                                  "2 < lo <= hi <= K <= 16 (the bitmask "
                                  "DP is exponential in K)")
         self.tiers = tiers = tuple(tiers)
+        self.cand_per_shot = cand_per_shot
         k_big = max(t[2] for t in tiers)
         if max_slots < k_big:
             raise ValueError("max_slots must be >= the largest tier K")
@@ -127,13 +162,14 @@ class ClusterMatcherTPU:
         dist_np[~np.isfinite(dist_np)] = np.float32(1e18)
         dist = jnp.asarray(dist_np)
         par = jnp.asarray(self.graph.parity.astype(np.float32))
+        dist_planes = _trunc_split3(dist)
+        par_b = par.astype(jnp.bfloat16)                 # 0/1: exact
         N = n_detectors
         tier_tabs = [(lo, hi, K, _build_level_tables(K),
                       max(64, min(int(np.ceil(rps * chunk)), chunk * MD)))
                      for lo, hi, K, rps in tiers]
         self.tier_capacities = {(lo, hi): cap
                                 for lo, hi, _, _, cap in tier_tabs}
-        HI = jax.lax.Precision.HIGHEST
 
         def comp_rows_dp(sel_flat, PD, PP, member, size,
                          lo, hi, K, tables, cap):
@@ -173,6 +209,8 @@ class ClusterMatcherTPU:
             rp = _dp_from_tables(Wm, Pm, Wb, Pb, tables, K)
             return jnp.where(ok, rp, 0), s_id, ok
 
+        e_bnd = jnp.zeros((N + 1,), jnp.bfloat16).at[N].set(1)
+
         def decode_chunk(dets):
             S = dets.shape[0]
             bits = dets.astype(jnp.int32)
@@ -185,26 +223,48 @@ class ClusterMatcherTPU:
             # 4096-chunk on v5e, ~45% of the whole decode. Invalid slots
             # (rank never matches) and the appended boundary slot get the
             # boundary column N, exactly _slot_tables' convention.
+            # The one-hot is materialized ONCE in bfloat16 (the old f32
+            # .at[].set build copied the (S, MD+1, N+1) tensor 3x) and
+            # the table dots run per truncated bf16 PLANE of dist — one-
+            # hot selections of exactly-representable plane values whose
+            # f32 sums reconstruct the HIGHEST-precision tables BIT-FOR-
+            # BIT (_trunc_split3; equality probed at d=11). Measured
+            # 15.3 -> 9.7 ms per 4096-chunk at d=11. CAVEAT: these
+            # sub-f32 dots deterministically crash the tunneled v5e
+            # worker when the call sits under jax.lax.map (kernel fault,
+            # probed 2026-08) — drive chunks from a HOST loop (async
+            # dispatch pipelines them; measured equal to lax.map).
             ks1 = jnp.arange(1, MD + 1, dtype=jnp.int32)
-            oh_det = (rank[:, None, :] == ks1[None, :, None]
-                      ).astype(jnp.float32)                # (S, MD, n_det)
-            filled = jnp.sum(oh_det, axis=2)               # (S, MD) 0/1
-            valid = filled > 0.5
-            oh_slots = jnp.concatenate(
-                [jnp.pad(oh_det, ((0, 0), (0, 0), (0, 1))),
-                 jnp.zeros((S, 1, N + 1), jnp.float32)], axis=1)
-            oh = oh_slots.at[:, :MD, N].set(1.0 - filled).at[:, MD, N].set(
-                1.0)                                       # (S, MD+1, N+1)
-            # NOTE: a 3-plane bf16 split of dist would make these exact
-            # at DEFAULT passes (probed correct AND fast standalone),
-            # but any DEFAULT-precision dot in this pipeline under
-            # jax.lax.map deterministically crashes the tunneled v5e
-            # worker (kernel fault; optimization_barrier does not help —
-            # probed 2026-08). HIGHEST everywhere is the stable form.
-            T = jnp.einsum("skn,nm->skm", oh, dist, precision=HI)
-            PD = jnp.einsum("skm,slm->skl", T, oh, precision=HI)
-            Tp = jnp.einsum("skn,nm->skm", oh, par, precision=HI)
-            PP = jnp.einsum("skm,slm->skl", Tp, oh, precision=HI)
+            oh_det = (rank[:, None, :] == ks1[None, :, None])
+            valid = jnp.any(oh_det, axis=2)                # (S, MD)
+            ohb = jnp.concatenate(
+                [jnp.pad(oh_det, ((0, 0), (0, 0), (0, 1))
+                         ).astype(jnp.bfloat16)
+                 + (~valid).astype(jnp.bfloat16)[:, :, None]
+                 * e_bnd[None, None, :],
+                 jnp.broadcast_to(e_bnd, (S, 1, N + 1))],
+                axis=1)                                    # (S, MD+1, N+1)
+
+            def bdot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            def bmm(a, b):       # skm,slm->skl with f32 accumulation
+                return jax.lax.dot_general(
+                    a.astype(jnp.bfloat16), b,
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+
+            T1 = bdot(ohb, dist_planes[0])
+            T2 = bdot(ohb, dist_planes[1])
+            T3 = bdot(ohb, dist_planes[2])
+            Tp = bdot(ohb, par_b)
+            # per-plane selections stay exactly bf16-representable, so
+            # casting back for the second selection loses nothing and
+            # the f32 sum of the three selected planes is exact
+            PD = bmm(T1, ohb) + bmm(T2, ohb) + bmm(T3, ohb)
+            PP = bmm(Tp, ohb)
             D = PD[:, :MD, :MD]                            # (S, MD, MD)
             db = PD[:, :MD, MD]                            # (S, MD)
             # --- 3. components under D(i,j) < D(i,B) + D(j,B) ---
@@ -227,32 +287,52 @@ class ClusterMatcherTPU:
                 (0, 2, 1)) & valid[:, None, :]             # (S, r, k)
             size = jnp.sum(member.astype(jnp.int32), axis=2)   # (S, MD)
             # --- 4. analytic size-1 / size-2 components ---
-            # mask-sums, not take_along_axis: (S, MD)-indexed gathers on
-            # TPU cost more than the whole (S, MD, MD) elementwise pass
-            size_of = jnp.sum(member * size[:, :, None], axis=1)  # (S, k)
-            p1 = jnp.sum(jnp.where((size_of == 1) & valid,
-                                   jnp.round(PP[:, :MD, MD]).astype(
-                                       jnp.int32), 0), axis=1)
-            is_root2 = (size == 2)                          # root slots
-            partner = jnp.sum(jnp.where(member, ks[None, None, :], 0),
-                              axis=2) - ks[None, :]         # (S, r)
-            pmask = (ks[None, None, :] == partner[:, :, None])
-            pr2 = jnp.sum(jnp.where(
-                pmask, jnp.round(PP[:, :MD, :MD]).astype(jnp.int32), 0),
-                axis=2)                                     # (S, r)
-            p2 = jnp.sum(jnp.where(is_root2, pr2, 0), axis=1)
-            parity = (p1 + p2) & 1
+            # `size` is nonzero ONLY on root slots (non-root member rows
+            # are empty), so (size == 1) alone picks singleton roots and
+            # (size == 2) pair roots. Pair parity is the masked row-sum
+            # of PP over the member mask: PP's diagonal is 0 (path i->i),
+            # so the sum is exactly the root->partner path parity. All
+            # in f32 — parities are exact 0/1 floats out of the HIGHEST
+            # one-hot einsums, and round/astype chains materializing
+            # (S, MD, MD) int32 intermediates measured ~9 ms of a 26 ms
+            # d=9 chunk (lane-padded 33 -> 128, so every extra tensor
+            # costs 4x its logical bytes).
+            p1 = jnp.sum(jnp.where(size == 1, PP[:, :MD, MD], 0.0), axis=1)
+            pr2 = jnp.sum(member * PP[:, :MD, :MD], axis=2)    # (S, r)
+            p2 = jnp.sum(jnp.where(size == 2, pr2, 0.0), axis=1)
+            parity = jnp.round(p1 + p2).astype(jnp.int32) & 1
             # --- 5. DP rows per size-class tier ---
+            # per-shot candidate compaction first: each shot holds at
+            # most a handful of size>=3 roots (measured 0.5/shot at d=9,
+            # 0.9/shot at d=11, p=1e-3), so tier routing top_ks run over
+            # the (S, R) candidate set instead of the full (S*MD) flat
+            # mask — the global top_k was measured superlinear and
+            # dominated chunk cost (16 ms of an 82 ms 8192-chunk at
+            # d=9). lax.top_k is stable (lowest index first), so
+            # candidates beyond the first R leave their tier underserved
+            # and flag the shot via the served < n_want check below.
+            is_dp = size >= 3
+            R = min(self.cand_per_shot, MD)
+            cval, cslot = jax.lax.top_k(is_dp.astype(jnp.int32), R)
+            csize = jnp.take_along_axis(size, cslot, axis=1)   # (S, R)
+            # surplus top_k rows (cval == 0) land on size<=2 slots, so
+            # the per-tier size-range check already excludes them
+            flat_cand = (jnp.arange(S, dtype=jnp.int32)[:, None] * MD
+                         + cslot).reshape(S * R)
             dp_par = jnp.zeros((S,), jnp.int32)
             starved = jnp.zeros((S,), bool)
             covered = (size <= 2)
             for lo, hi, K, tabs, cap in tier_tabs:
                 in_tier = (size >= lo) & (size <= hi)
                 covered = covered | in_tier
-                flat = in_tier.astype(jnp.float32)
-                _, sel = jax.lax.top_k(flat.reshape(S * MD), cap)
+                in_tier_c = (cval > 0) & (csize >= lo) & (csize <= hi)
+                _, sel_c = jax.lax.top_k(
+                    in_tier_c.astype(jnp.int32).reshape(S * R),
+                    min(cap, S * R))
+                sel = jnp.take(flat_cand, sel_c)
                 rp, sid, ok = comp_rows_dp(sel, PD, PP, member, size,
-                                           lo, hi, K, tabs, cap)
+                                           lo, hi, K, tabs,
+                                           min(cap, S * R))
                 dp_par = dp_par.at[sid].add(rp & 1)
                 n_want = jnp.sum(in_tier.astype(jnp.int32), axis=1)
                 served = jnp.zeros((S,), jnp.int32).at[sid].add(
@@ -354,6 +434,22 @@ class EscalatingClusterMatcher:
         return self.cluster.overflow_fraction(detectors)
 
 
+def default_tiers(n_detectors: int):
+    """Occupancy-sized tier routing (measured per-shot size>=3 root
+    counts at p = 1e-3: d=9 -> 0.41/0.053/0.034 per tier, d=11 ->
+    0.59/0.134/0.147). DP cost is linear in capacity — the K=12 tier at
+    a d=11-safe 0.25 rows/shot measured ~12 ms of a 26 ms d=9 chunk
+    while its true d=9 demand was 0.034 — so smaller circuits get caps
+    sized to THEIR tail (starved shots flag to the exact host decoder;
+    accuracy is unaffected either way)."""
+    if n_detectors <= 512:            # d <= 9 memory-circuit class
+        return ((3, 6, 6, 0.8), (7, 8, 8, 0.12), (9, 12, 12, 0.08))
+    # d=11 class: splitting the top tier K=10/K=12 (a K=10 DP is ~4x
+    # cheaper per row and sizes 9-10 outnumber 11-12) measured +5% e2e
+    return ((3, 6, 6, 0.9), (7, 8, 8, 0.2),
+            (9, 10, 10, 0.16), (11, 12, 12, 0.12))
+
+
 def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
                                 escalating: bool = False, **kw):
     from .dem import build_dem, dem_to_edges
@@ -364,9 +460,10 @@ def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
         # scale with n_det; 4096-shot chunks crash the tunneled v5e
         # worker at n_det ~ 720 (d=11) — halve the chunk there
         chunk = 4096 if circuit.n_detectors <= 512 else 2048
+    kw.setdefault("tiers", default_tiers(circuit.n_detectors))
     cls = EscalatingClusterMatcher if escalating else ClusterMatcherTPU
     return cls(circuit.n_detectors, edges, probs, obs, chunk=chunk, **kw)
 
 
 __all__ = ["ClusterMatcherTPU", "EscalatingClusterMatcher",
-           "cluster_matcher_for_circuit"]
+           "cluster_matcher_for_circuit", "default_tiers"]

@@ -1246,6 +1246,32 @@ class TestBPSlotKernel:
         assert abs(b32.mean() - b16.mean()) < 5e-3
 
 
+class TestTruncSplit3:
+    """_trunc_split3 must reconstruct ANY f32 exactly: truncated planes
+    occupy non-overlapping mantissa bit ranges of the same sign, so
+    every partial sum (in either association order) is exact — the
+    property the cluster decoder's bf16 table dots rely on for
+    bit-identity with the HIGHEST-precision einsum path."""
+
+    def test_exact_reconstruction(self):
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.cluster_matcher import (
+            _trunc_split3)
+        rng = np.random.default_rng(0)
+        vals = np.concatenate([
+            rng.standard_normal(4096).astype(np.float32) * 10 ** rng.integers(-6, 18, 4096).astype(np.float32),
+            np.array([0.0, 1e18, 1.0, np.pi, 2.0 ** -126], np.float32)])
+        M = jnp.asarray(vals.reshape(1, -1))
+        m1, m2, m3 = _trunc_split3(M)
+        back = (m1.astype(jnp.float32) + m2.astype(jnp.float32)
+                + m3.astype(jnp.float32))
+        assert (np.asarray(back) == vals.reshape(1, -1)).all()
+        # partial sums in the other association order are exact too
+        back2 = (m1.astype(jnp.float32)
+                 + (m2.astype(jnp.float32) + m3.astype(jnp.float32)))
+        assert (np.asarray(back2) == vals.reshape(1, -1)).all()
+
+
 class TestClusterMatcherTPU:
     """On-device exact cluster decomposition (qec/cluster_matcher.py):
     per-shot components under the strict adjacency D(i,j) < D(i,B) +
