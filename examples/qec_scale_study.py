@@ -67,7 +67,11 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     K = 12
     edges, eprobs, eobs = dem_to_edges(build_dem(circuit))
     nat = NativeMatchingDecoder(circuit.n_detectors, edges, eprobs, eobs)
-    cap = min(decode_shots, max(decode_shots // 8, 64))
+    # d=13: ~35% of shots hold a component beyond the K=12 DP budget
+    # (space decomposition saturates as chains lengthen at fixed p), so
+    # the escalation fetch must size for it; the run is then host-decode
+    # heavy but the p_L point stays exact
+    cap = min(decode_shots, max(decode_shots // (8 if d < 13 else 2), 64))
     if d <= 7:
         chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
@@ -78,7 +82,11 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     else:
         from noisyquantumsimulator_tpu.qec.cluster_matcher import (
             ClusterMatcherTPU, default_tiers)
-        chunk = min(4096, decode_shots)
+        # d=13 (n_det=1008): the (S, 25, n_det+1) table intermediates at
+        # a 4096-chunk brush the tunneled worker's crash threshold —
+        # halve the chunk there
+        chunk = min(4096 if circuit.n_detectors <= 768 else 2048,
+                    decode_shots)
         dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
                                 chunk=chunk, max_slots=24,
                                 tiers=default_tiers(circuit.n_detectors))
@@ -135,7 +143,7 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     # shot budget must GROW with d for the p_L column to carry meaning
     # (d=11 true-MWPM p_L is ~1e-5-class: 3 reps of 2^17 would see ~2
     # errors; 24 reps see ~15)
-    reps_d = {9: 8, 11: 24}.get(d, 3)
+    reps_d = {9: 8, 11: 24, 13: 24}.get(d, 3)
     t0 = time.perf_counter()
     errs = ovf = errs_host = 0
     for r in range(reps_d):

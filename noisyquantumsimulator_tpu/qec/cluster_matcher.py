@@ -461,6 +461,9 @@ def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
         # worker at n_det ~ 720 (d=11) — halve the chunk there
         chunk = 4096 if circuit.n_detectors <= 512 else 2048
     kw.setdefault("tiers", default_tiers(circuit.n_detectors))
+    # 24 slots fit p ~ 1e-3 defect tails through d ~ 13 (nd > 24 shots
+    # flag to the exact escalation path) at ~40% less (S, MD, *) work
+    kw.setdefault("max_slots", 24)
     cls = EscalatingClusterMatcher if escalating else ClusterMatcherTPU
     return cls(circuit.n_detectors, edges, probs, obs, chunk=chunk, **kw)
 
