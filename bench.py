@@ -440,9 +440,12 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     reps_d = 3
     t0 = time.perf_counter()
     errs = ovf = 0
-    for r in range(reps_d):
-        n_err, n_ovf, packed_f, obs_f, ovf_f = e2e_j(
-            jax.random.PRNGKey(200 + r))
+    # dispatch EVERY rep's device work first (async), then drain: rep r's
+    # single-core host escalation runs while reps r+1.. still execute on
+    # the device, so the native re-decode rides inside the device
+    # wall-clock instead of extending it
+    outs = [e2e_j(jax.random.PRNGKey(200 + r)) for r in range(reps_d)]
+    for n_err, n_ovf, packed_f, obs_f, ovf_f in outs:
         if nat is not None and int(n_ovf) > cap:
             # flagged shots beyond the fetch cap would keep (uncounted)
             # window predictions — refuse to publish a silent undercount

@@ -17,20 +17,33 @@ Device pipeline (one jitted call per chunk):
   1. compact each shot's defects into MD slots — the slot one-hot comes
      straight from the cumsum-rank compare (NO scatter: a (S, n_det)
      index scatter measured 15.6 ms/chunk on v5e, ~45% of the decode),
-  2. build the (S, MD+1, MD+1) slot distance/parity tables incl. the
-     boundary column via one-hot matmuls on the MXU over truncated bf16
-     planes of dist (exact f32 reconstruction — _trunc_split3; these
-     sub-f32 dots crash the tunneled v5e worker under lax.map, so chunks
-     are driven from host loops — see the in-code note),
-  3. adjacency + transitive closure (log2(MD) batched boolean matmuls)
+  2. ONE bf16 one-hot pass builds everything pairwise the pipeline
+     needs: the adjacency rule is precomputed HOST-SIDE IN f64 (the
+     exact native tie semantics — no on-device distance compare, no
+     tolerance) and fused with the path parity as a small-integer
+     combo matrix 2*adj + parity (values 0..3, exactly bf16-
+     representable, so even the bf16-ACCUMULATED selections are exact:
+     every output sums exactly one nonzero product). Two extra hi/lo
+     byte columns recover each slot's detector index from the same
+     pass. Round-3's first cut selected three truncated-bf16 planes of
+     the full f32 distance matrix per chunk (exact, but 3x the passes
+     and an (S, MD+1, N+1) f32 intermediate each) — distances are now
+     only materialized per DP ROW in step 5, which is ~4x less work,
+  3. adjacency + transitive closure (log2(MD) batched bf16 0/1 matmuls,
+     integer counts <= MD so bf16 accumulation is exact)
      -> per-slot component root = min reachable slot index,
   4. size-1 components: boundary parity, size-2: pair parity (for a
      2-component the direct edge IS the adjacency witness, so the pair
      beats two boundary matches by construction) — both elementwise,
   5. components of size 3+ are compacted chunk-wide (top_k over (S*MD)
      candidates) into per-component rows routed by size class to
-     K = 6/8/10/12 bitmask DPs whose slot tables are GATHERED from step
-     2's tables (shared level loop, exact_matcher._dp_from_tables),
+     K = 6/8/10/12 bitmask DPs; each row's (K, K) weight/parity tables
+     are built AT ROW SCALE from the member detector indices by one
+     stacked one-hot pass over the truncated bf16 planes of dist
+     (exact f32 reconstruction — _trunc_split3; these sub-f32 dots
+     crash the tunneled v5e worker under lax.map, so chunks are driven
+     from host loops — see the in-code note) and solved by the shared
+     level loop (exact_matcher._dp_from_tables),
   6. per-component parities scatter-XOR back into per-shot parity.
 
 Shots the device cannot certify-exactly decode raise the per-shot `ovf`
@@ -83,14 +96,21 @@ def _trunc_split3(M):
 
 def _closure_root(adj, valid, MD: int):
     """Transitive closure by repeated boolean matmul squaring; returns
-    each slot's component root = min reachable slot index (S, MD)."""
-    eye = jnp.eye(MD, dtype=jnp.float32)
-    R = jnp.maximum(adj.astype(jnp.float32), eye[None])
+    each slot's component root = min reachable slot index (S, MD).
+
+    Runs on bf16 0/1 operands with bf16 ACCUMULATION: every partial sum
+    is an integer count <= MD <= 64, exactly representable in bf16, so
+    the > 0 threshold is exact. Halving the closure traffic this way
+    measured ~2x on the (S, MD, MD) squarings (they are bandwidth-bound
+    — lane padding MD -> 128 makes each tensor carry ~5x its logical
+    bytes)."""
+    eye = jnp.eye(MD, dtype=jnp.bfloat16)
+    R = jnp.maximum(adj.astype(jnp.bfloat16), eye[None])
     steps = max(1, int(np.ceil(np.log2(MD))))
     for _ in range(steps):
-        # 0/1 reachability: counts stay < MD so bf16 accumulation is
-        # exact, but keep f32 DEFAULT — the (S, MD, MD) batch is tiny
-        R = (jnp.einsum("sij,sjk->sik", R, R) > 0).astype(jnp.float32)
+        R = (jax.lax.dot_general(
+            R, R, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16) > 0).astype(jnp.bfloat16)
     ks = jnp.arange(MD, dtype=jnp.int32)
     reach_idx = jnp.where((R > 0) & valid[:, None, :], ks[None, None, :], MD)
     root = jnp.min(reach_idx, axis=2)                    # (S, MD)
@@ -125,10 +145,13 @@ class ClusterMatcherTPU:
         K=6 / K>6 tiers. cand_per_shot bounds the per-shot DP-candidate
         compaction (shots holding more size>=3 roots flag).
 
-        Every one-hot copy in the pipeline is EXACT — table dots select
-        truncated bf16 planes whose f32 sums reconstruct the f32 tables
-        bit-for-bit (_trunc_split3) — and differential tests pin the
-        whole pipeline to the native f64 oracle. Do NOT compose the
+        Every one-hot copy in the pipeline is EXACT — the chunk-wide
+        pass selects small integers (2*adj + parity, hi/lo index bytes),
+        the DP-row tables select truncated bf16 planes whose f32 sums
+        reconstruct the f32 distances bit-for-bit (_trunc_split3), and
+        the adjacency itself is precomputed host-side in f64 with the
+        native strict tie rule — and differential tests pin the whole
+        pipeline to the native f64 oracle. Do NOT compose the
         device decode under jax.lax.map on the tunneled v5e (sub-f32
         dots under map crash the worker); decode_batch's host chunk
         loop pipelines equally fast."""
@@ -160,23 +183,54 @@ class ClusterMatcherTPU:
         # unreachable pairs: finite sentinel (same convention as the
         # native decoder's C++ tables; inf-inf would NaN under algebra)
         dist_np[~np.isfinite(dist_np)] = np.float32(1e18)
-        dist = jnp.asarray(dist_np)
-        par = jnp.asarray(self.graph.parity.astype(np.float32))
-        dist_planes = _trunc_split3(dist)
-        par_b = par.astype(jnp.bfloat16)                 # 0/1: exact
         N = n_detectors
+        par64 = self.graph.parity.astype(np.float64)
+        # ---- host-f64 adjacency precompute: the EXACT native rule ----
+        # adj[m, n] = D(m, n) < D(m, B) + D(n, B), strict, in f64 — the
+        # identical comparison native/uf_decoder.cpp:643 makes, so the
+        # decomposition matches the host oracle bit-for-bit (round-3's
+        # first cut compared f32 distances on device and needed a 1e-5
+        # relative tolerance to re-exclude rounded ties). The diagonal
+        # (0 < 2 D(m,B), always true) is cleared here so no device eye
+        # mask is needed; boundary row/col are strict-false on their own.
+        D64 = self.graph.dist.astype(np.float64)
+        D64[~np.isfinite(D64)] = 1e18
+        db64 = D64[:, N]
+        adj_np = D64 < (db64[:, None] + db64[None, :])
+        np.fill_diagonal(adj_np, False)
+        # fused combo matrix: 2*adj + path parity, values 0..3 — every
+        # value exactly bf16-representable, and every one-hot selection
+        # sums exactly ONE nonzero product, so bf16 ACCUMULATION is
+        # exact end-to-end. Two extra byte columns (hi = idx >> 8,
+        # lo = idx & 255, both <= 255 so bf16-exact) let the same pass
+        # return each slot's detector index.
+        combo_np = (2.0 * adj_np + par64).astype(np.float32)
+        idx_np = np.arange(N + 1, dtype=np.int64)
+        combo_aug = np.concatenate(
+            [combo_np,
+             (idx_np >> 8).astype(np.float32)[:, None],
+             (idx_np & 255).astype(np.float32)[:, None]],
+            axis=1)                                        # (N+1, N+3)
+        combo_b = jnp.asarray(combo_aug).astype(jnp.bfloat16)
+        # stacked truncated-bf16 planes of dist + the parity plane, used
+        # ONLY for the per-DP-row weight tables (step 5): one (N+1,
+        # 4(N+1)) matrix so each row's tables need a single stacked pass
+        dist = jnp.asarray(dist_np)
+        p1_, p2_, p3_ = _trunc_split3(dist)
+        par_b = jnp.asarray(par64.astype(np.float32)).astype(jnp.bfloat16)
+        planes_stack = jnp.concatenate([p1_, p2_, p3_, par_b], axis=1)
         tier_tabs = [(lo, hi, K, _build_level_tables(K),
                       max(64, min(int(np.ceil(rps * chunk)), chunk * MD)))
                      for lo, hi, K, rps in tiers]
         self.tier_capacities = {(lo, hi): cap
                                 for lo, hi, _, _, cap in tier_tabs}
 
-        def comp_rows_dp(sel_flat, PD, PP, member, size,
+        def comp_rows_dp(sel_flat, det_idx, member, size,
                          lo, hi, K, tables, cap):
-            """Gather `cap` component rows selected by flat (S*MD) index
-            and solve them with the K-budget DP. Returns (row parity
-            (cap,), row shot id (cap,), row valid (cap,))."""
-            S = member.shape[0]
+            """Gather `cap` component rows selected by flat (S*MD) index,
+            build their (K, K) weight/parity tables at ROW scale from the
+            stacked dist planes, and solve with the K-budget DP. Returns
+            (row parity (cap,), row shot id (cap,), row valid (cap,))."""
             s_id = sel_flat // MD                          # (cap,)
             r_id = sel_flat % MD
             mem = member[s_id, r_id]                       # (cap, MD) bool
@@ -191,21 +245,34 @@ class ClusterMatcherTPU:
                           jnp.arange(MD, dtype=jnp.int32)[None, :], -1))
             # unfilled DP slots -> the boundary index MD (free, parity 0)
             msl = jnp.where(msl[:, :K] < 0, MD, msl[:, :K])   # (cap, K)
-            # per-row slot tables gathered from the shot tables; absent
-            # DP slots point at the boundary index MD (weight 0 to
-            # boundary, db to real slots — the _slot_tables convention)
-            PDr = PD[s_id]                                 # (cap, MD+1, MD+1)
-            PPr = PP[s_id]
-            ii = msl[:, :, None]
-            jj = msl[:, None, :]
-            Wm = jnp.take_along_axis(
-                jnp.take_along_axis(PDr, ii, axis=1),
-                jnp.broadcast_to(jj, (cap, K, K)), axis=2)
-            Pm = jnp.take_along_axis(
-                jnp.take_along_axis(PPr, ii, axis=1),
-                jnp.broadcast_to(jj, (cap, K, K)), axis=2)
-            Wb = jnp.take_along_axis(PDr[:, :, MD], msl, axis=1)
-            Pb = jnp.take_along_axis(PPr[:, :, MD], msl, axis=1)
+            # member DETECTOR indices (absent DP slots -> boundary N:
+            # dist[B, B] = 0 free, parity 0 — _slot_tables' convention)
+            mdet = jnp.where(
+                msl < MD,
+                jnp.take_along_axis(det_idx[s_id],
+                                    jnp.clip(msl, 0, MD - 1), axis=1),
+                N)                                         # (cap, K)
+            ohr = (mdet[:, :, None]
+                   == jnp.arange(N + 1, dtype=jnp.int32)[None, None, :]
+                   ).astype(jnp.bfloat16)                  # (cap, K, N+1)
+            # one stacked pass over [plane1|plane2|plane3|parity]: each
+            # selected value is exactly bf16-representable, so bf16
+            # accumulation is exact; the f32 sum of the three selected
+            # planes reconstructs the f32 distance bit-for-bit
+            Tr = jax.lax.dot_general(
+                ohr, planes_stack, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)       # (cap,K,4(N+1))
+            Tr4 = Tr.reshape(cap, K * 4, N + 1)
+            M4 = jax.lax.dot_general(
+                Tr4, ohr, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32
+            ).reshape(cap, K, 4, K)
+            Wm = M4[:, :, 0] + M4[:, :, 1] + M4[:, :, 2]   # (cap, K, K)
+            Pm = M4[:, :, 3]
+            Tb = Tr.reshape(cap, K, 4, N + 1)[:, :, :, N].astype(
+                jnp.float32)                               # (cap, K, 4)
+            Wb = Tb[:, :, 0] + Tb[:, :, 1] + Tb[:, :, 2]
+            Pb = Tb[:, :, 3]
             rp = _dp_from_tables(Wm, Pm, Wb, Pb, tables, K)
             return jnp.where(ok, rp, 0), s_id, ok
 
@@ -216,24 +283,20 @@ class ClusterMatcherTPU:
             bits = dets.astype(jnp.int32)
             nd = jnp.sum(bits, axis=1)                     # (S,)
             rank = jnp.cumsum(bits, axis=1) * bits         # 1-based
-            # --- 1+2. slot one-hot + tables (one-hot MXU copies) ---
+            # --- 1+2. slot one-hot + the fused combo pass ---
             # the slot -> detector one-hot comes straight from the rank
             # compare (slot k holds the (k+1)-th set bit) — NO scatter:
             # a (S, n_det) -> (S, MD) index scatter measured 15.6 ms per
             # 4096-chunk on v5e, ~45% of the whole decode. Invalid slots
             # (rank never matches) and the appended boundary slot get the
             # boundary column N, exactly _slot_tables' convention.
-            # The one-hot is materialized ONCE in bfloat16 (the old f32
-            # .at[].set build copied the (S, MD+1, N+1) tensor 3x) and
-            # the table dots run per truncated bf16 PLANE of dist — one-
-            # hot selections of exactly-representable plane values whose
-            # f32 sums reconstruct the HIGHEST-precision tables BIT-FOR-
-            # BIT (_trunc_split3; equality probed at d=11). Measured
-            # 15.3 -> 9.7 ms per 4096-chunk at d=11. CAVEAT: these
-            # sub-f32 dots deterministically crash the tunneled v5e
-            # worker when the call sits under jax.lax.map (kernel fault,
-            # probed 2026-08) — drive chunks from a HOST loop (async
-            # dispatch pipelines them; measured equal to lax.map).
+            # ONE bf16 pass selects adjacency+parity (combo values 0..3)
+            # and the hi/lo detector-index bytes; bf16 accumulation is
+            # exact because each output sums exactly one nonzero product.
+            # CAVEAT: sub-f32 dots deterministically crash the tunneled
+            # v5e worker when the call sits under jax.lax.map (kernel
+            # fault, probed 2026-08) — drive chunks from a HOST loop
+            # (async dispatch pipelines them; measured equal to lax.map).
             ks1 = jnp.arange(1, MD + 1, dtype=jnp.int32)
             oh_det = (rank[:, None, :] == ks1[None, :, None])
             valid = jnp.any(oh_det, axis=2)                # (S, MD)
@@ -245,42 +308,25 @@ class ClusterMatcherTPU:
                  jnp.broadcast_to(e_bnd, (S, 1, N + 1))],
                 axis=1)                                    # (S, MD+1, N+1)
 
-            def bdot(a, b):
-                return jax.lax.dot_general(
-                    a, b, (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            def bmm(a, b):       # skm,slm->skl with f32 accumulation
-                return jax.lax.dot_general(
-                    a.astype(jnp.bfloat16), b,
-                    (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-
-            T1 = bdot(ohb, dist_planes[0])
-            T2 = bdot(ohb, dist_planes[1])
-            T3 = bdot(ohb, dist_planes[2])
-            Tp = bdot(ohb, par_b)
-            # per-plane selections stay exactly bf16-representable, so
-            # casting back for the second selection loses nothing and
-            # the f32 sum of the three selected planes is exact
-            PD = bmm(T1, ohb) + bmm(T2, ohb) + bmm(T3, ohb)
-            PP = bmm(Tp, ohb)
-            D = PD[:, :MD, :MD]                            # (S, MD, MD)
-            db = PD[:, :MD, MD]                            # (S, MD)
+            T = jax.lax.dot_general(
+                ohb, combo_b, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)       # (S, MD+1, N+3)
+            det_idx = (T[:, :MD, N + 1].astype(jnp.int32) * 256
+                       + T[:, :MD, N + 2].astype(jnp.int32))   # (S, MD)
+            C = jax.lax.dot_general(
+                T[:, :, :N + 1], ohb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # (S,MD+1,MD+1)
+            adjC = C >= 1.5
+            # path parity for ALL slot pairs incl. the boundary column
+            # (exact 0/1 floats: combo - 2*adj)
+            PP = C - 2.0 * jnp.where(adjC, 1.0, 0.0)
             # --- 3. components under D(i,j) < D(i,B) + D(j,B) ---
-            # exact TIES (= in f64) are the common case in surface-code
-            # graphs (equal-weight edge paths); the native rule excludes
-            # them (strict <), but f32 rounding flips half into spurious
-            # edges, merging components past the DP budget (measured:
-            # d=11 flag rate 26% vs the true 8%). The relative tolerance
-            # re-excludes ties; a genuinely beneficial pair with margin
-            # below ~1e-5 relative would be split at a cost bounded by
-            # that margin (edge-weight margins in real DEMs are either 0
-            # or O(1), so this is the tie rule, not an approximation).
-            bsum = db[:, :, None] + db[:, None, :]
-            pairv = valid[:, :, None] & valid[:, None, :]
-            adj = (D < bsum - 1e-5 * bsum) & pairv
-            adj = adj & ~jnp.eye(MD, dtype=bool)[None]
+            # the adjacency was precomputed HOST-SIDE in f64 with the
+            # strict native tie rule (see combo build above): boundary
+            # pairs and the diagonal are false by construction, and
+            # invalid slots select the boundary row — so the slice IS
+            # the component adjacency, no masking, no tolerance.
+            adj = adjC[:, :MD, :MD]
             root = _closure_root(adj, valid, MD)           # (S, MD)
             ks = jnp.arange(MD, dtype=jnp.int32)
             member = (root[:, :, None] == ks[None, None, :]).transpose(
@@ -290,13 +336,13 @@ class ClusterMatcherTPU:
             # `size` is nonzero ONLY on root slots (non-root member rows
             # are empty), so (size == 1) alone picks singleton roots and
             # (size == 2) pair roots. Pair parity is the masked row-sum
-            # of PP over the member mask: PP's diagonal is 0 (path i->i),
-            # so the sum is exactly the root->partner path parity. All
-            # in f32 — parities are exact 0/1 floats out of the HIGHEST
-            # one-hot einsums, and round/astype chains materializing
-            # (S, MD, MD) int32 intermediates measured ~9 ms of a 26 ms
-            # d=9 chunk (lane-padded 33 -> 128, so every extra tensor
-            # costs 4x its logical bytes).
+            # of PP over the member mask: PP's diagonal is 0 (path i->i,
+            # combo diag = parity diag = 0), so the sum is exactly the
+            # root->partner path parity. All in f32 — parities are exact
+            # 0/1 floats out of the combo selection, and round/astype
+            # chains materializing (S, MD, MD) int32 intermediates
+            # measured ~9 ms of a 26 ms d=9 chunk (lane-padded 33 -> 128,
+            # so every extra tensor costs 4x its logical bytes).
             p1 = jnp.sum(jnp.where(size == 1, PP[:, :MD, MD], 0.0), axis=1)
             pr2 = jnp.sum(member * PP[:, :MD, :MD], axis=2)    # (S, r)
             p2 = jnp.sum(jnp.where(size == 2, pr2, 0.0), axis=1)
@@ -330,7 +376,7 @@ class ClusterMatcherTPU:
                     in_tier_c.astype(jnp.int32).reshape(S * R),
                     min(cap, S * R))
                 sel = jnp.take(flat_cand, sel_c)
-                rp, sid, ok = comp_rows_dp(sel, PD, PP, member, size,
+                rp, sid, ok = comp_rows_dp(sel, det_idx, member, size,
                                            lo, hi, K, tabs,
                                            min(cap, S * R))
                 dp_par = dp_par.at[sid].add(rp & 1)
@@ -411,8 +457,14 @@ class EscalatingClusterMatcher:
         t0 = time.perf_counter()
         S = dets.shape[0]
         preds = np.empty(S, np.int64)
-        ovfs = np.empty(S, bool)
+        n_flagged = 0
         fn = self.cluster._fn
+        # dispatch EVERY chunk first (async), then drain in order and run
+        # the host escalation of chunk i while chunks i+1.. are still
+        # executing on the device — the native re-decode rides inside the
+        # device wall-clock instead of after it (the host has one core;
+        # overlap is the only way escalation can be free)
+        pending = []
         for s0 in range(0, S, self.chunk):
             block = dets[s0:s0 + self.chunk]
             n = block.shape[0]
@@ -420,13 +472,16 @@ class EscalatingClusterMatcher:
                 block = np.concatenate(
                     [block, np.zeros((self.chunk - n,) + block.shape[1:],
                                      block.dtype)])
-            p, o = fn(jnp.asarray(block))
-            preds[s0:s0 + n] = np.asarray(p)[:n]
-            ovfs[s0:s0 + n] = np.asarray(o)[:n]
-        idx = np.nonzero(ovfs)[0]
-        if idx.size:
-            preds[idx] = self.decode_flagged_host(dets[idx])
-        self.last_flagged_fraction = idx.size / max(S, 1)
+            pending.append((s0, n, fn(jnp.asarray(block))))
+        for s0, n, (p, o) in pending:
+            pr = np.asarray(p)[:n].astype(np.int64)
+            ov = np.asarray(o)[:n]
+            loc = np.nonzero(ov)[0]
+            if loc.size:
+                pr[loc] = self.decode_flagged_host(dets[s0 + loc])
+                n_flagged += loc.size
+            preds[s0:s0 + n] = pr
+        self.last_flagged_fraction = n_flagged / max(S, 1)
         self.last_decode_seconds = time.perf_counter() - t0
         return preds
 
@@ -456,10 +511,11 @@ def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
     dem = build_dem(circuit)
     edges, probs, obs = dem_to_edges(dem)
     if chunk is None:
-        # the (S, MD+1, n_det+1) slot one-hot and its einsum intermediate
-        # scale with n_det; 4096-shot chunks crash the tunneled v5e
-        # worker at n_det ~ 720 (d=11) — halve the chunk there
-        chunk = 4096 if circuit.n_detectors <= 512 else 2048
+        # the (S, MD+1, n_det+1) slot one-hot and the bf16 combo pass
+        # scale with n_det; since the combo rewrite dropped the three
+        # (S, MD+1, n_det+1) f32 plane intermediates, 4096-shot chunks
+        # are stable through d=13 (n_det ~ 1176) on the tunneled v5e
+        chunk = 4096
     kw.setdefault("tiers", default_tiers(circuit.n_detectors))
     # 24 slots fit p ~ 1e-3 defect tails through d ~ 13 (nd > 24 shots
     # flag to the exact escalation path) at ~40% less (S, MD, *) work
