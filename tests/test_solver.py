@@ -415,3 +415,112 @@ class TestPhaseFrameFastPath:
         plan = plan_cz_gate(LPSimulationInputs(pulse_shape="gaussian"),
                             n_steps_shaped=32)
         assert plan_phase_frame(plan) is None  # non-uniform amplitudes
+
+
+class TestRealRepEngine:
+    """The real Hermitian-basis engine (solver/real_rep.py) must be an
+    exact change of representation: same physics as the complex
+    phase-frame path, one real matmul per segment."""
+
+    def _plan(self, dim=3, n=64):
+        from noisyquantumsimulator_tpu.core.configs import (
+            SmoothJPSimulationInputs)
+        from noisyquantumsimulator_tpu.gate.simulate import (
+            plan_cz_gate, plan_phase_frame, plan_squaring_bound)
+        plan = plan_cz_gate(SmoothJPSimulationInputs(), n_steps_smooth=n,
+                            hilbert_space_dim=dim)
+        return plan, plan_phase_frame(plan), plan_squaring_bound(plan)
+
+    def test_roundtrip_exact(self):
+        import jax
+        from noisyquantumsimulator_tpu.solver.real_rep import (
+            build_real_rep, from_real_coords, to_real_coords)
+        with jax.enable_x64(True):
+            plan, g, _ = self._plan()
+            rep = build_real_rep(g, 9)
+            Wr, Wi = jnp.asarray(rep.Wr), jnp.asarray(rep.Wi)
+            x = to_real_coords(jnp.asarray(plan.rho0s), Wr, Wi)
+            back = from_real_coords(x, Wr, Wi)
+            assert float(jnp.max(jnp.abs(back - plan.rho0s))) < 1e-14
+
+    @pytest.mark.parametrize("dim", [3, 4])
+    def test_matches_complex_many(self, dim):
+        import jax
+        from noisyquantumsimulator_tpu.solver.propagator import (
+            evolve_rhos_phased_many, uniform_base_propagator)
+        from noisyquantumsimulator_tpu.solver.real_rep import (
+            build_real_rep, evolve_real_phased_many, from_real_coords,
+            real_propagator_host, to_real_coords)
+        with jax.enable_x64(True):
+            plan, g, ms = self._plan(dim=dim, n=48)
+            D = dim * dim
+            amps = np.asarray(plan.schedule.amps)
+            dts = np.asarray(plan.schedule.dts)
+            phases = jnp.asarray(np.asarray(plan.schedule.phases))
+            Ub = uniform_base_propagator(
+                jnp.asarray(plan.L0), jnp.asarray(plan.Cp),
+                jnp.asarray(plan.Cm), float(amps[0]), float(dts[0]),
+                max_squarings=ms)
+            rep = build_real_rep(g, D)
+            # host transform asserts Im(W U W^dagger) ~ 0:
+            # Lindblad propagators are Hermiticity-preserving
+            U_real = jnp.asarray(real_propagator_host(np.asarray(Ub), rep))
+            Wr, Wi = jnp.asarray(rep.Wr), jnp.asarray(rep.Wi)
+            scales = jnp.asarray([0.93, 1.0, 1.07])
+            ref = evolve_rhos_phased_many(
+                Ub, jnp.asarray(g), scales[:, None] * phases[None],
+                jnp.asarray(plan.rho0s))
+            x0 = to_real_coords(jnp.asarray(plan.rho0s), Wr, Wi)
+            out = evolve_real_phased_many(
+                U_real, jnp.asarray(rep.cq),
+                scales[:, None] * phases[None], x0, D, rep.P)
+            rhos = from_real_coords(out, Wr, Wi)
+            assert float(jnp.max(jnp.abs(rhos - ref))) < 1e-11
+
+    def test_device_propagator_matches_host(self):
+        import jax
+        from noisyquantumsimulator_tpu.solver.propagator import (
+            uniform_base_propagator)
+        from noisyquantumsimulator_tpu.solver.real_rep import (
+            build_real_rep, real_propagator_device, real_propagator_host)
+        with jax.enable_x64(True):
+            plan, g, ms = self._plan(n=32)
+            amps = np.asarray(plan.schedule.amps)
+            dts = np.asarray(plan.schedule.dts)
+            Ub = uniform_base_propagator(
+                jnp.asarray(plan.L0), jnp.asarray(plan.Cp),
+                jnp.asarray(plan.Cm), float(amps[0]), float(dts[0]),
+                max_squarings=ms)
+            rep = build_real_rep(g, 9)
+            dev = real_propagator_device(Ub, jnp.asarray(rep.Wr),
+                                         jnp.asarray(rep.Wi))
+            host = real_propagator_host(np.asarray(Ub), rep)
+            assert float(jnp.max(jnp.abs(dev - host))) < 1e-12
+
+    def test_single_matches_many(self):
+        import jax
+        from noisyquantumsimulator_tpu.solver.propagator import (
+            uniform_base_propagator)
+        from noisyquantumsimulator_tpu.solver.real_rep import (
+            build_real_rep, evolve_real_phased, evolve_real_phased_many,
+            real_propagator_host, to_real_coords)
+        with jax.enable_x64(True):
+            plan, g, ms = self._plan(n=32)
+            amps = np.asarray(plan.schedule.amps)
+            dts = np.asarray(plan.schedule.dts)
+            phases = jnp.asarray(np.asarray(plan.schedule.phases))
+            Ub = uniform_base_propagator(
+                jnp.asarray(plan.L0), jnp.asarray(plan.Cp),
+                jnp.asarray(plan.Cm), float(amps[0]), float(dts[0]),
+                max_squarings=ms)
+            rep = build_real_rep(g, 9)
+            U_real = jnp.asarray(real_propagator_host(np.asarray(Ub), rep))
+            Wr, Wi = jnp.asarray(rep.Wr), jnp.asarray(rep.Wi)
+            x0 = to_real_coords(jnp.asarray(plan.rho0s), Wr, Wi)
+            many = evolve_real_phased_many(
+                U_real, jnp.asarray(rep.cq),
+                jnp.stack([phases, 1.05 * phases]), x0, 9, rep.P)
+            for i, s in enumerate([1.0, 1.05]):
+                one = evolve_real_phased(U_real, jnp.asarray(rep.cq),
+                                         s * phases, x0, 9, rep.P)
+                assert float(jnp.max(jnp.abs(many[i] - one))) < 1e-13
