@@ -163,8 +163,15 @@ def expm(A: jnp.ndarray, max_squarings: int = 12,
     """
     A = jnp.asarray(A)
     if method == "auto":
-        method = "taylor16_3m" if A.dtype in (jnp.complex64, jnp.float32) \
-            else "pade13"
+        if A.dtype == jnp.complex64:
+            method = "taylor16_3m"
+        elif A.dtype == jnp.float32:
+            # real input: plain Taylor-16 (6 REAL matmuls) — the 3m
+            # float-plane path would burn 3 matmuls per product on a
+            # zero imaginary plane
+            method = "taylor16"
+        else:
+            method = "pade13"
     D = A.shape[-1]
 
     if method == "taylor16_3m":

@@ -46,6 +46,17 @@ class FixedProblem:
     Delta_e: float
     V_over_Omega: float
     g: Optional[np.ndarray] = None  # phase-frame generator (ops/phase_frame)
+    # real Hermitian-basis operands (solver/real_rep.py): present whenever
+    # g is — the uniform fast core then runs FULLY REAL (real expm + one
+    # real matmul per segment, ~4x less MXU work than the complex path)
+    R_L0: Optional[np.ndarray] = None      # Re(W L0_bare W^dagger)
+    R_Cd: Optional[np.ndarray] = None      # Re(W Cd W^dagger)
+    R_drive: Optional[np.ndarray] = None   # Re(W (Cp + Cm) W^dagger)
+    x0r: Optional[np.ndarray] = None       # real coords of rho0s (S, D^2)
+    Wr: Optional[np.ndarray] = None
+    Wi: Optional[np.ndarray] = None
+    cq: Optional[np.ndarray] = None        # (P,) pair charges
+    repP: int = 0                          # pair count
 
 
 def build_fixed_problem(apparatus: ApparatusConstraints,
@@ -73,6 +84,25 @@ def build_fixed_problem(apparatus: ApparatusConstraints,
     # one-expm factorization exact); None -> general per-segment path
     from ..ops.phase_frame import phase_frame_generator
     g = phase_frame_generator(L0_bare + Cd, plan.Cp, plan.Cm, HS3)
+    real_fields = {}
+    if g is not None:
+        # real Hermitian-basis operands (f64 host transform; Liouvillian
+        # generators are Hermiticity-preserving, asserted inside)
+        from ..solver.real_rep import build_real_rep, real_propagator_host
+        rdt = np.float32 if ndt == np.complex64 else np.float64
+        D = plan.rho0s.shape[-1]
+        rep = build_real_rep(g, D)
+        vec = plan.rho0s.reshape(plan.rho0s.shape[0], D * D)
+        x0r = (vec.real @ rep.Wr.T - vec.imag @ rep.Wi.T)
+        real_fields = dict(
+            R_L0=real_propagator_host(L0_bare, rep).astype(rdt),
+            R_Cd=real_propagator_host(Cd, rep).astype(rdt),
+            R_drive=real_propagator_host(plan.Cp + plan.Cm,
+                                         rep).astype(rdt),
+            x0r=x0r.astype(rdt),
+            Wr=rep.Wr.astype(rdt), Wi=rep.Wi.astype(rdt),
+            cq=rep.cq.astype(rdt), repP=rep.P,
+        )
     return FixedProblem(
         L0_bare=np.asarray(L0_bare, ndt),
         Cd=np.asarray(Cd, ndt),
@@ -83,6 +113,7 @@ def build_fixed_problem(apparatus: ApparatusConstraints,
         Omega=plan.Omega, V=plan.V, Delta_e=float(si.excitation.Delta_e),
         V_over_Omega=plan.V_over_Omega,
         g=g,
+        **real_fields,
     )
 
 
@@ -112,18 +143,8 @@ def _evaluate(problem: FixedProblem, schedule: Schedule):
                             problem.kets)
 
 
-def _evaluate_uniform_arrays(phases, dt, det, g, L0_bare, Cd, Cp, Cm,
-                             rho0s, kets):
-    """Phase-frame fast core for uniform-(amp=1, dt, det) schedules: ONE
-    expm + diagonal-rescaled matmul tree per evaluation instead of one
-    expm per segment (solver/propagator.total_propagator_phased). det and
-    dt are traced scalars, so this stays fully differentiable in all
-    protocol parameters (including gate time)."""
-    A = (L0_bare + det * Cd + (Cp + Cm)) * dt
-    Ub = expm(A)
-    rhos = evolve_rhos_phased(Ub, g, phases, rho0s)
+def _cost_and_metrics(rhos, kets, gate_time_us):
     fids, avg, phase_info = compute_cz_fidelity(rhos, kets)
-    gate_time_us = phases.shape[0] * dt * 1e6
     cost = compute_cost_arrays(avg, fids["11"],
                                phase_info["cz_phase_fidelity"], gate_time_us)
     metrics = {
@@ -135,6 +156,38 @@ def _evaluate_uniform_arrays(phases, dt, det, g, L0_bare, Cd, Cp, Cm,
         "gate_time_us": gate_time_us,
     }
     return cost, metrics
+
+
+def _evaluate_uniform_arrays(phases, dt, det, g, L0_bare, Cd, Cp, Cm,
+                             rho0s, kets):
+    """Phase-frame fast core for uniform-(amp=1, dt, det) schedules: ONE
+    expm + diagonal-rescaled matmul tree per evaluation instead of one
+    expm per segment (solver/propagator.total_propagator_phased). det and
+    dt are traced scalars, so this stays fully differentiable in all
+    protocol parameters (including gate time)."""
+    A = (L0_bare + det * Cd + (Cp + Cm)) * dt
+    Ub = expm(A)
+    rhos = evolve_rhos_phased(Ub, g, phases, rho0s)
+    return _cost_and_metrics(rhos, kets, phases.shape[0] * dt * 1e6)
+
+
+def _evaluate_uniform_real(phases, dt, det, cq, R_L0, R_Cd, R_drive,
+                           x0r, Wr, Wi, kets, P):
+    """The uniform fast core run FULLY REAL (solver/real_rep.py): the
+    Liouvillian pieces arrive pre-transformed to the Hermitian operator
+    basis, so the per-evaluation expm is a REAL matrix exponential
+    (6 real matmuls vs the complex path's ~18 f32-plane ones) and the
+    segment scan is one real matvec per step. Exact same physics — the
+    basis change is unitary and the tests pin this core to the general
+    per-segment path. Fully differentiable in (phases, dt, det)."""
+    from ..solver.real_rep import evolve_real_phased, from_real_coords
+    A = (R_L0 + det * R_Cd + R_drive) * dt
+    Ur = expm(A)
+    n = x0r.shape[-1]
+    D = int(round(np.sqrt(n)))
+    x = evolve_real_phased(Ur, cq, phases, x0r, D, P)
+    rhos = from_real_coords(x, Wr, Wi)
+    return _cost_and_metrics(rhos, kets, phases.shape[0] * dt * 1e6)
 
 
 # =============================================================================
@@ -280,15 +333,18 @@ def _make_eval_core(problem: FixedProblem, key: str, builder_kwargs: dict):
     kets = problem.kets
     if key in UNIFORM_BUILDERS and problem.g is not None:
         ubuilder = UNIFORM_BUILDERS[key]
-        g_host = problem.g.astype(problem.L0_bare.real.dtype)
+        P = problem.repP
 
-        def core(params, g, L0_bare, Cd, Cp, Cm, rho0s):
+        def core(params, cq, R_L0, R_Cd, R_drive, x0r, Wr, Wi):
             phases, dt, det = ubuilder(params, problem, **builder_kwargs)
-            return _evaluate_uniform_arrays(phases, dt, det, g, L0_bare,
-                                            Cd, Cp, Cm, rho0s, kets)
+            return _evaluate_uniform_real(phases, dt, det, cq, R_L0,
+                                          R_Cd, R_drive, x0r, Wr, Wi,
+                                          kets, P)
 
-        consts = (g_host, problem.L0_bare, problem.Cd, problem.Cp,
-                  problem.Cm, problem.rho0s)
+        # R_L0 second (the spacing path batches the operand at index 1,
+        # matching the old (g, L0_bare, ...) layout)
+        consts = (problem.cq, problem.R_L0, problem.R_Cd,
+                  problem.R_drive, problem.x0r, problem.Wr, problem.Wi)
         return core, consts
 
     builder = SCHEDULE_BUILDERS[key]
@@ -440,7 +496,8 @@ def make_spacing_population_objective(apparatus: ApparatusConstraints,
                         f"spacing_factor={float(sf):.4f}: re-planned "
                         "Liouvillian is not phase-frame compatible; "
                         "rebuild the objective with a non-uniform protocol")
-        L0s = np.stack([pr.L0_bare for pr in probs])
+        L0s = np.stack([pr.R_L0 if uses_phase_frame else pr.L0_bare
+                        for pr in probs])
         L0_dev = device_put_complex(L0s)
         dev = list(dev_static)
         dev.insert(l0_pos, L0_dev)

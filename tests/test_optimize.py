@@ -243,3 +243,31 @@ class TestForwardOptimizerParity:
         costs, metrics = obj(pop)
         assert np.asarray(costs).shape == (2,)
         assert float(np.asarray(costs)[0]) != float(np.asarray(costs)[1])
+
+
+class TestRealUniformCore:
+    """The uniform fast core now runs in the real Hermitian basis
+    (engine._evaluate_uniform_real); it must agree with the general
+    per-segment complex path on the SAME schedule."""
+
+    @pytest.mark.parametrize("protocol,params", [
+        ("lp", [0.377371, 4.29268]),
+        ("smooth_jp", [10.09, 0.311 * np.pi, 1.242, 4.696, 0.0205]),
+    ])
+    def test_real_core_matches_general(self, protocol, params):
+        from dataclasses import replace
+        app = ApparatusConstraints()
+        prob = build_fixed_problem(app, app.make_full_noise(),
+                                   include_noise=True)
+        assert prob.g is not None and prob.R_L0 is not None
+        kw = {"n_steps": 96} if protocol == "smooth_jp" else {}
+        fast = make_objective(prob, protocol, **kw)
+        # force the general per-segment path by dropping the generator
+        slow = make_objective(replace(prob, g=None), protocol, **kw)
+        cf, mf = fast(np.asarray(params))
+        cs, ms = slow(np.asarray(params))
+        assert float(mf["avg_fidelity"]) == pytest.approx(
+            float(ms["avg_fidelity"]), abs=5e-6)
+        assert float(cf) == pytest.approx(float(cs), rel=2e-3, abs=1e-2)
+        assert float(mf["controlled_phase_deg"]) == pytest.approx(
+            float(ms["controlled_phase_deg"]), abs=0.01)
