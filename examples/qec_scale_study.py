@@ -82,13 +82,13 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     else:
         from noisyquantumsimulator_tpu.qec.cluster_matcher import (
             ClusterMatcherTPU, default_tiers)
-        # d=13 (n_det=1008): the (S, 25, n_det+1) table intermediates at
-        # a 4096-chunk brush the tunneled worker's crash threshold —
-        # halve the chunk there
-        chunk = min(4096 if circuit.n_detectors <= 768 else 2048,
-                    decode_shots)
+        # since the combo rewrite dropped the (S, 25, n_det+1) f32 plane
+        # intermediates, 4096-chunks are stable through d=13 (n_det=1092)
+        chunk = min(4096, decode_shots)
         dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
-                                chunk=chunk, max_slots=24,
+                                chunk=chunk,
+                                max_slots=(24 if circuit.n_detectors <= 768
+                                           else 32),
                                 tiers=default_tiers(circuit.n_detectors))
         decoder_name = ("on-device exact cluster decomposition "
                         "(K=6/8/10/12 size-class DPs) + host "
@@ -146,9 +146,19 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     reps_d = {9: 8, 11: 24, 13: 24}.get(d, 3)
     t0 = time.perf_counter()
     errs = ovf = errs_host = 0
-    for r in range(reps_d):
-        n_err, n_ovf, packed_f, obs_f, ovf_f = e2e_j(
-            jax.random.PRNGKey(200 + r))
+    # dispatch device work a few reps ahead (async), then drain: rep r's
+    # single-core host escalation runs while reps r+1.. are still
+    # executing on the device, so the native re-decode rides inside the
+    # device wall-clock instead of extending it. Depth 4 bounds the live
+    # detector buffers (each rep holds a (decode_shots, n_det) uint8).
+    from collections import deque
+    pending = deque()
+    ri = 0
+    while ri < reps_d or pending:
+        while ri < reps_d and len(pending) < 4:
+            pending.append(e2e_j(jax.random.PRNGKey(200 + ri)))
+            ri += 1
+        n_err, n_ovf, packed_f, obs_f, ovf_f = pending.popleft()
         sel = np.asarray(ovf_f)
         if int(n_ovf) > cap:
             # flagged shots beyond the fetch cap would keep (uncounted)

@@ -500,9 +500,16 @@ def default_tiers(n_detectors: int):
     if n_detectors <= 512:            # d <= 9 memory-circuit class
         return ((3, 6, 6, 0.8), (7, 8, 8, 0.12), (9, 12, 12, 0.08))
     # d=11 class: splitting the top tier K=10/K=12 (a K=10 DP is ~4x
-    # cheaper per row and sizes 9-10 outnumber 11-12) measured +5% e2e
-    return ((3, 6, 6, 0.9), (7, 8, 8, 0.2),
-            (9, 10, 10, 0.16), (11, 12, 12, 0.12))
+    # cheaper per row and sizes 9-10 outnumber 11-12) measured +5% e2e.
+    # Component occupancy per shot is LINEAR in n_det at fixed p (below
+    # threshold, components are local), so capacities sized at the d=11
+    # measurement scale by n_det/720 — without this, d=13's ~1.6x higher
+    # demand starves every tier chunk-wide and flags ~20% of shots that
+    # the device could have decoded exactly (measured: 35.7% total
+    # escalation at d=13 vs 7.8% at d=11).
+    r = max(1.0, n_detectors / 720.0)
+    return ((3, 6, 6, 0.9 * r), (7, 8, 8, 0.2 * r),
+            (9, 10, 10, 0.16 * r), (11, 12, 12, 0.12 * r))
 
 
 def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
@@ -517,9 +524,10 @@ def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
         # are stable through d=13 (n_det ~ 1176) on the tunneled v5e
         chunk = 4096
     kw.setdefault("tiers", default_tiers(circuit.n_detectors))
-    # 24 slots fit p ~ 1e-3 defect tails through d ~ 13 (nd > 24 shots
-    # flag to the exact escalation path) at ~40% less (S, MD, *) work
-    kw.setdefault("max_slots", 24)
+    # 24 slots fit p ~ 1e-3 defect tails through d = 11 at ~40% less
+    # (S, MD, *) work; d=13-class circuits (mean ~16 defects/shot) need
+    # 32 or the >MD tail alone escalates ~2% of shots
+    kw.setdefault("max_slots", 24 if circuit.n_detectors <= 768 else 32)
     cls = EscalatingClusterMatcher if escalating else ClusterMatcherTPU
     return cls(circuit.n_detectors, edges, probs, obs, chunk=chunk, **kw)
 
