@@ -6,10 +6,13 @@ rate per round, threshold, and teraquop footprint as the code metrics):
 one command produces the logical-error-rate table, the error-suppression
 factor Lambda, and the teraquop projection.
 
-Round-3 update: distances extend to d = 11 with TRUE-MWPM decoding at
+Round-3 update: distances extend to d = 13 with TRUE-MWPM decoding at
 every d (the native exact cluster decoder — the same matching the
 on-device cluster decoder reproduces, cluster_matcher.py), so Lambda is
 decoder-limited nowhere and the teraquop extrapolation is meaningful.
+The d=13, p=5e-4/1e-3 cells sit at/below the 3.1M-shot budget's
+resolution (~0-2 expected errors); zero-error cells are excluded from
+Lambda means and the shots column records the budget either way.
 Sampling runs in 2^18-shot device blocks (bit-packed fetches); per-d
 shot budgets grow so sub-threshold p_L keeps >= ~10 expected errors.
 
@@ -82,7 +85,7 @@ def shot_budget(d: int, p: float, quick: bool) -> int:
     # p_L/shot is ~1e-5-class)
     if p <= 1.1e-3:
         return (1 << 20) if d == 9 else (3 << 20)
-    return 1 << 19
+    return 1 << 19 if d <= 11 else 1 << 20
 
 
 def main():
@@ -90,7 +93,7 @@ def main():
     if "cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
     quick = "--quick" in sys.argv
-    ds = (3, 5) if quick else (3, 5, 7, 9, 11)
+    ds = (3, 5) if quick else (3, 5, 7, 9, 11, 13)
     ps = (1e-3, 2e-3, 4e-3) if quick else (5e-4, 1e-3, 2e-3, 4e-3, 8e-3)
 
     from noisyquantumsimulator_tpu.qec.surface_code import teraquop_footprint
