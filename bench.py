@@ -310,19 +310,27 @@ def measure_parity(plan, rhos_zvode, dtype="complex64",
     rhos_host = device_get_complex(rhos_dev)
     errs = [1.0 - _state_fidelity(rhos_host[i], rhos_zvode[i])
             for i in range(4)]
-    # the real Hermitian-basis throughput engine's own parity tier
+    # the real Hermitian-basis throughput engine's own parity tier (one
+    # jit: op-by-op complex formation is unsupported on the axon tunnel)
     from noisyquantumsimulator_tpu.solver.real_rep import (
         build_real_rep, evolve_real_phased, from_real_coords,
         real_propagator_device, to_real_coords)
+    import jax as _jax
     D = plan.rho0s.shape[-1]
     rep = build_real_rep(g, D)
-    Wr, Wi = jnp.asarray(rep.Wr.astype(rdt)), jnp.asarray(rep.Wi.astype(rdt))
-    x0 = to_real_coords(rho0s, Wr, Wi)
-    xf = evolve_real_phased(
-        real_propagator_device(Ub, Wr, Wi), jnp.asarray(rep.cq.astype(rdt)),
-        jnp.asarray(np.asarray(plan.schedule.phases, rdt)), x0, D, rep.P,
-        precision=precision)
-    rhos_real = device_get_complex(from_real_coords(xf, Wr, Wi))
+
+    @_jax.jit
+    def _real_path(Ub, rho0s, phases, Wr, Wi, cq):
+        x0 = to_real_coords(rho0s, Wr, Wi)
+        xf = evolve_real_phased(
+            real_propagator_device(Ub, Wr, Wi), cq, phases, x0, D, rep.P,
+            precision=precision)
+        return from_real_coords(xf, Wr, Wi)
+
+    rhos_real = device_get_complex(_real_path(
+        Ub, rho0s, jnp.asarray(np.asarray(plan.schedule.phases, rdt)),
+        jnp.asarray(rep.Wr.astype(rdt)), jnp.asarray(rep.Wi.astype(rdt)),
+        jnp.asarray(rep.cq.astype(rdt))))
     errs_real = [1.0 - _state_fidelity(rhos_real[i], rhos_zvode[i])
                  for i in range(4)]
     rhos_x64 = _phase_frame_numpy_x64(plan)
@@ -785,7 +793,10 @@ if __name__ == "__main__":
             or "--batch" in sys.argv or "--steps" in sys.argv \
             or "--curve" in sys.argv or "--prec" in sys.argv:
         dim4 = "--dim4" in sys.argv
-        main(batch=_flag(sys.argv, "--batch", 1024 if dim4 else 4096),
+        # defaults sized at the measured v5e throughput peak of the real
+        # Hermitian-basis engine (the 300-step scan is per-step
+        # latency-bound below ~32k sims in flight; 64k regresses on HBM)
+        main(batch=_flag(sys.argv, "--batch", 8192 if dim4 else 32768),
              n_steps=_flag(sys.argv, "--steps", 300),
              curve="--curve" in sys.argv,
              dim=4 if dim4 else 3,

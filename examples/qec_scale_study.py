@@ -86,9 +86,7 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         # intermediates, 4096-chunks are stable through d=13 (n_det=1092)
         chunk = min(4096, decode_shots)
         dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
-                                chunk=chunk,
-                                max_slots=(24 if circuit.n_detectors <= 768
-                                           else 32),
+                                chunk=chunk, max_slots=24,
                                 tiers=default_tiers(circuit.n_detectors))
         decoder_name = ("on-device exact cluster decomposition "
                         "(K=6/8/10/12 size-class DPs) + host "
@@ -105,17 +103,22 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
 
     def finalize(dets, obs, preds, ovfs):
         err = (preds ^ obs) & 1
+        # bit-pack ALL shots first (pure elementwise on the uint8
+        # detectors), THEN gather the cap escalation rows — gathering
+        # raw (cap, n_det) rows as int32 before packing materialized a
+        # ~300 MB block per rep at d=13 and dominated the device time
+        # (profiled ~2 s/rep); the packed fetch itself stays tiny (the
+        # tunneled fetch of raw uint8 measured ~14 MB/s at d=11)
+        bitw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+        S = dets.shape[0]
+        packed_all = jnp.sum(
+            jnp.pad(dets, ((0, 0), (0, n8 - n_det))).reshape(
+                S, n8 // 8, 8) * bitw[None, None, :],
+            axis=2, dtype=jnp.uint8)          # bits are disjoint: <= 255
         _, idx = jax.lax.top_k(ovfs.astype(jnp.int32), cap)
-        # bit-pack escalation rows on device: the tunneled fetch of raw
-        # (cap, n_det) uint8 measured ~14 MB/s (0.84 s/rep at d=11)
-        bitw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
-        dets_c = jnp.take(dets, idx, axis=0).astype(jnp.int32)
-        packed = jnp.sum(
-            jnp.pad(dets_c, ((0, 0), (0, n8 - n_det))).reshape(
-                cap, n8 // 8, 8) * bitw[None, None, :],
-            axis=2).astype(jnp.uint8)
         return (jnp.sum(jnp.where(ovfs, 0, err)), jnp.sum(ovfs),
-                packed, jnp.take(obs, idx), jnp.take(ovfs, idx))
+                jnp.take(packed_all, idx, axis=0),
+                jnp.take(obs, idx), jnp.take(ovfs, idx))
 
     # host-driven chunk loop: async dispatch pipelines the chunks like
     # lax.map did, and the cluster decoder's sub-f32 table dots crash

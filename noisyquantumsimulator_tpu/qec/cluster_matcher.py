@@ -524,10 +524,12 @@ def cluster_matcher_for_circuit(circuit, chunk: int | None = None,
         # are stable through d=13 (n_det ~ 1176) on the tunneled v5e
         chunk = 4096
     kw.setdefault("tiers", default_tiers(circuit.n_detectors))
-    # 24 slots fit p ~ 1e-3 defect tails through d = 11 at ~40% less
-    # (S, MD, *) work; d=13-class circuits (mean ~16 defects/shot) need
-    # 32 or the >MD tail alone escalates ~2% of shots
-    kw.setdefault("max_slots", 24 if circuit.n_detectors <= 768 else 32)
+    # 24 slots everywhere: the MD-scaling stages dominate device decode
+    # (MD=32 measured 2.8x slower per chunk at d=13 on v5e), while the
+    # >24-defect tail it flags (~2% at d=13, p=1e-3) is cheap for the
+    # exact host escalation that d>=13 already needs for size>12
+    # components
+    kw.setdefault("max_slots", 24)
     cls = EscalatingClusterMatcher if escalating else ClusterMatcherTPU
     return cls(circuit.n_detectors, edges, probs, obs, chunk=chunk, **kw)
 
