@@ -649,7 +649,7 @@ def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
 
     batch_curve = []
     if curve:
-        for b in (128, 256, 512, 1024, 2048, 4096):
+        for b in (128, 512, 2048, 4096, 8192, 16384, 32768, 65536):
             if b == batch:
                 batch_curve.append({"batch": b,
                                     "sims_per_sec": round(sims_per_sec, 2)})
