@@ -74,18 +74,39 @@ def _pallas_squaring(Rr, Ri, s, max_squarings: int, interpret: bool = False):
     return out_r, out_i
 
 
+_PROBE_CACHE: dict[str, bool] = {}
+
+
 def pallas_available() -> bool:
+    """One-time cached RUNTIME probe: compile + run a trivial kernel.
+
+    A static platform check is not enough here: tunneled TPU backends
+    (axon) could not lower Mosaic custom-calls when this module was
+    first written (2026-08-16: remote compile helper exited 1) but CAN
+    now (re-probed 2026-08-19: the full squaring kernel compiles and
+    runs at 0.29 ms/call on the tunneled v5e). Probing an actual
+    pallas_call is the only check that tracks the backend's real
+    capability; the result is cached per process."""
     if not _PALLAS_OK or os.environ.get("NQS_DISABLE_PALLAS"):
         return False
-    # tunneled TPU backends (axon) AOT-compile via a chipless helper that
-    # cannot lower Mosaic custom-calls (probed 2026-08-16: remote compile
-    # helper exits 1); only use pallas on a directly-attached TPU
-    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
-        return False
+    if "ok" in _PROBE_CACHE:
+        return _PROBE_CACHE["ok"]
     try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            _PROBE_CACHE["ok"] = False
+            return False
+
+        def _probe_kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + jnp.float32(1.0)
+
+        x = jnp.zeros((8, 128), jnp.float32)
+        y = pl.pallas_call(
+            _probe_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(x)
+        _PROBE_CACHE["ok"] = bool(abs(float(y[0, 0]) - 1.0) < 1e-6)
+    except Exception:  # Mosaic lowering/compile unsupported here
+        _PROBE_CACHE["ok"] = False
+    return _PROBE_CACHE["ok"]
 
 
 def fused_masked_squaring(R: jnp.ndarray, s: jnp.ndarray,
