@@ -344,6 +344,20 @@ def measure_parity(plan, rhos_zvode, dtype="complex64",
             float(np.max(np.abs(errs_real))))
 
 
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial proportion — the CI every
+    published p_L cell must carry (VERDICT r3 #2: low-count cells were
+    published bare; the d=7 headline was a ~3-sigma-low fixed-seed draw).
+    Well-behaved at k=0 (unlike the normal approximation)."""
+    if n <= 0:
+        return (0.0, 1.0)
+    p = k / n
+    den = 1.0 + z * z / n
+    ctr = (p + z * z / (2 * n)) / den
+    hw = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    return (max(0.0, ctr - hw), min(1.0, ctr + hw))
+
+
 def _sims_per_sec(step, scales, batch, reps=10):
     import jax.numpy as jnp
     out = step(scales)
@@ -357,7 +371,8 @@ def _sims_per_sec(step, scales, batch, reps=10):
 
 
 def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
-             shots: int = 1 << 20, decode_shots: int = 1 << 17):
+             shots: int = 1 << 20, decode_shots: int = 1 << 17,
+             reps_decode: int = 3, seed: int = 0):
     """Secondary benchmark (run with --qec): d=7 surface-code memory
     detector sampling throughput via the one-matmul MXU sampler
     (BASELINE.md north-star #3: exceed Stim on shots/s), plus the honest
@@ -505,14 +520,17 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         return finalize_j(dets, obs, preds, ovfs)
 
     int(e2e_j(jax.random.PRNGKey(100))[0])  # fence
-    reps_d = 3
+    reps_d = reps_decode
     t0 = time.perf_counter()
     errs = ovf = 0
     # dispatch EVERY rep's device work first (async), then drain: rep r's
     # single-core host escalation runs while reps r+1.. still execute on
     # the device, so the native re-decode rides inside the device
-    # wall-clock instead of extending it
-    outs = [e2e_j(jax.random.PRNGKey(200 + r)) for r in range(reps_d)]
+    # wall-clock instead of extending it. Seeds derive from --seed so
+    # studies can vary the shot stream across blocks (VERDICT r3 #2: the
+    # old fixed keys 200-202 enshrined a 3-sigma-low p_L draw as canon).
+    outs = [e2e_j(jax.random.PRNGKey(1000 * seed + 200 + r))
+            for r in range(reps_d)]
     for n_err, n_ovf, packed_f, obs_f, ovf_f in outs:
         if nat is not None and int(n_ovf) > cap:
             # flagged shots beyond the fetch cap would keep (uncounted)
@@ -537,12 +555,16 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         "e2e_sample_decode_shots_per_sec": round(n_dec / dt_d, 0),
         "e2e_decoder": decoder_name,
         "e2e_p_logical_shot": errs / n_dec,
+        "e2e_n_errors": errs,
+        "e2e_n_decoded": n_dec,
+        "e2e_p_logical_ci95": list(wilson_ci(errs, n_dec)),
         "e2e_escalated_fraction": ovf / n_dec,
+        "seed": seed,
     }))
 
 
 def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
-            fast_iters: int = 8):
+            fast_iters: int = 8, seed: int = 0, reps: int = 3):
     """Tertiary benchmark (--bb): gross-code [[144,12,12]] circuit-level
     memory, sample + DEM-BP decode + per-observable failure check.
 
@@ -609,11 +631,11 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
         pb = (est.astype(np_.int64) @ obs_cols) & 1       # (R, k)
         return int((pb != obs_h).any(axis=1).sum())
 
-    reps = 3
     t0 = time.perf_counter()
     fails = bad = 0
     for r in range(reps):
-        f, b, dets_r, bel_r, obs_r, bad_r = e2e_j(jax.random.PRNGKey(100 + r))
+        f, b, dets_r, bel_r, obs_r, bad_r = e2e_j(
+            jax.random.PRNGKey(1000 * seed + 100 + r))
         if int(b) > cap:
             raise RuntimeError(  # see main_qec: no silent undercounts
                 f"residue fetch cap {cap} < non-converged {int(b)}")
@@ -634,7 +656,11 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
         "decoder": (f"tiered slot-BP (min-sum {fast_iters}/60 iters) "
                     "+ C++ OSD-0 on the non-converged residue"),
         "e2e_p_logical_shot": fails / n_tot,
+        "e2e_n_errors": fails,
+        "e2e_n_decoded": n_tot,
+        "e2e_p_logical_ci95": list(wilson_ci(fails, n_tot)),
         "bp_nonconverged_frac": bad / n_tot,
+        "seed": seed,
     }))
 
 
@@ -718,31 +744,100 @@ def _flag(argv, name, default, cast=int):
     return default
 
 
-# The canonical record suite (VERDICT r2 #4): ONE driver-captured JSON
-# holding every headline workload, each with its baseline definition
-# inline — README quotes THESE numbers (examples/gen_readme_table.py),
-# eliminating prose/bench drift. Children run in their own process so a
-# tunneled-TPU worker crash in one workload cannot take down the suite
-# (observed at d >= 9 in round 2), and so TPU jobs never overlap.
+def _git_commit() -> str:
+    """Short commit hash for provenance stamping (VERDICT r3 #6) — every
+    canon record carries the commit it was measured at, so stale numbers
+    are detectable instead of silently contradicting newer ones."""
+    import os
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__))
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+# The canonical record suites (VERDICT r2 #4, r3 #1): README quotes the
+# BENCH_CANON.json records (examples/gen_readme_table.py), eliminating
+# prose/bench drift. Children run in their own process so a tunneled-TPU
+# worker crash in one workload cannot take down the suite (observed at
+# d >= 9 in round 2), and so TPU jobs never overlap.
+#
+# The DEFAULT suite is time-budgeted to fit the driver's capture window
+# (~15 min total measured on the tunneled v5e; BENCH_r03 rc=124 proved
+# the full-budget suite's 12,600 s of sub-timeouts cannot). Statistical
+# depth (>= 100-error p_L cells) lives in examples/qec_scale_study.py and
+# the --full suite, not in the driver path; every p_L this suite prints
+# carries its error COUNT and a 95% CI so low-count cells are labeled.
 _SUITE = [
+    ("gate_dim3", ["--one-gate"], 300),
+    ("gate_dim4", ["--one-gate", "--dim4"], 300),
+    ("qec_d7", ["--qec", "--d", "7", "--rounds", "7",
+                "--shots", str(1 << 20)], 300),
+    ("qec_d9", ["--qec", "--d", "9", "--rounds", "9",
+                "--shots", str(1 << 18), "--decode-shots", str(1 << 17)],
+     360),
+    ("qec_d11", ["--qec", "--d", "11", "--rounds", "11",
+                 "--shots", str(1 << 18), "--decode-shots", str(1 << 17)],
+     420),
+    ("bb_ldpc", ["--bb", "--shots", str(1 << 16)], 420),
+]
+
+# --full: the round-3 deep-statistics budgets (run manually / by studies)
+_SUITE_FULL = [
     ("gate_dim3", ["--one-gate"], 1500),
     ("gate_dim4", ["--one-gate", "--dim4"], 1800),
-    ("qec_d7", ["--qec", "--d", "7", "--rounds", "7"], 1500),
+    ("qec_d7", ["--qec", "--d", "7", "--rounds", "7",
+                "--reps-decode", "8"], 1500),
     ("qec_d9", ["--qec", "--d", "9", "--rounds", "9",
-                "--shots", str(1 << 19)], 2400),
+                "--shots", str(1 << 19), "--decode-shots", str(1 << 19),
+                "--reps-decode", "6"], 2400),
     ("qec_d11", ["--qec", "--d", "11", "--rounds", "11",
-                 "--shots", str(1 << 19)], 3000),
+                 "--shots", str(1 << 19), "--decode-shots", str(1 << 19)],
+     3000),
     ("bb_ldpc", ["--bb", "--shots", str(1 << 17)], 2400),
 ]
 
 
-def main_all() -> None:
+def main_all(full: bool = False) -> None:
     import os
     import subprocess
     import sys as _sys
     records = {}
     here = os.path.abspath(__file__)
-    for name, args, tmo in _SUITE:
+    canon = os.path.join(os.path.dirname(here), "BENCH_CANON.json")
+    commit = _git_commit()
+    suite = _SUITE_FULL if full else _SUITE
+
+    def update_canon():
+        """Merge finished records into BENCH_CANON.json INCREMENTALLY
+        (VERDICT r3 #1): a driver timeout mid-suite loses only the
+        unfinished tail, never the records already measured. Existing
+        canon records for workloads not in this run are preserved."""
+        try:
+            with open(canon) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = {}
+        merged = dict(prev.get("records", {}))
+        for n, r in records.items():
+            if "value" in r:
+                merged[n] = r
+        head = merged.get("gate_dim3", {})
+        out = dict(head) if "value" in head else {
+            "metric": "cz_lindblad_sims_per_sec", "value": None,
+            "unit": "sims/s", "vs_baseline": None}
+        out["records"] = merged
+        tmp = canon + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, canon)
+        return out
+
+    for name, args, tmo in suite:
         try:
             r = subprocess.run([_sys.executable, here] + args,
                                capture_output=True, text=True, timeout=tmo)
@@ -750,33 +845,32 @@ def main_all() -> None:
                     if ln.startswith("{")]
             if line:
                 records[name] = json.loads(line[-1])
+                records[name]["generated_at_commit"] = commit
             else:
                 records[name] = {"error": (r.stderr or "no output")[-500:]}
         except subprocess.TimeoutExpired:
             records[name] = {"error": f"timeout after {tmo}s"}
         except Exception as e:  # keep the suite alive
             records[name] = {"error": f"{type(e).__name__}: {e}"}
+        # stream the record the moment it lands (VERDICT r3 #1): stdout
+        # gets a full parseable JSON line per record — a driver-side
+        # timeout still leaves every finished record in the capture —
+        # and canon is updated incrementally on disk.
+        rec = dict(records[name])
+        rec["record"] = name
+        print(json.dumps(rec), flush=True)
         print(f"# {name}: "
               + (f"{records[name].get('value')} "
                  f"{records[name].get('unit', '')}"
                  if "value" in records[name]
                  else records[name]["error"][:120]),
               file=_sys.stderr, flush=True)
+        update_canon()
 
-    head = records.get("gate_dim3", {})
-    out = dict(head) if "value" in head else {
-        "metric": "cz_lindblad_sims_per_sec", "value": None,
-        "unit": "sims/s", "vs_baseline": None}
-    out["records"] = records
-    # the canonical record of record: README performance rows are
-    # regenerated from THIS file (examples/gen_readme_table.py), so
-    # prose numbers cannot drift from driver-captured ones
-    canon = os.path.join(os.path.dirname(here), "BENCH_CANON.json")
-    ok = [n for n, r in records.items() if "value" in r]
-    if len(ok) == len(_SUITE):          # only a fully-clean suite is canon
-        with open(canon, "w") as f:
-            json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    out = update_canon()
+    out["records"].update({n: r for n, r in records.items()
+                           if "value" not in r})
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
@@ -785,10 +879,14 @@ if __name__ == "__main__":
         main_qec(d=_flag(sys.argv, "--d", 7),
                  rounds=_flag(sys.argv, "--rounds", 7),
                  shots=_flag(sys.argv, "--shots", 1 << 20),
-                 decode_shots=_flag(sys.argv, "--decode-shots", 1 << 17))
+                 decode_shots=_flag(sys.argv, "--decode-shots", 1 << 17),
+                 reps_decode=_flag(sys.argv, "--reps-decode", 3),
+                 seed=_flag(sys.argv, "--seed", 0))
     elif "--bb" in sys.argv:
         main_bb(rounds=_flag(sys.argv, "--rounds", 3),
-                shots=_flag(sys.argv, "--shots", 8192))
+                shots=_flag(sys.argv, "--shots", 8192),
+                seed=_flag(sys.argv, "--seed", 0),
+                reps=_flag(sys.argv, "--reps", 3))
     elif "--one-gate" in sys.argv or "--dim4" in sys.argv \
             or "--batch" in sys.argv or "--steps" in sys.argv \
             or "--curve" in sys.argv or "--prec" in sys.argv:
@@ -803,5 +901,6 @@ if __name__ == "__main__":
              prec=_flag(sys.argv, "--prec", "highest", str),
              engine=_flag(sys.argv, "--engine", "real", str))
     else:
-        # no flags: the full canonical suite
-        main_all()
+        # no flags: the time-budgeted canonical suite (fits the driver's
+        # capture window); --full runs the deep-statistics budgets
+        main_all(full="--full" in sys.argv)

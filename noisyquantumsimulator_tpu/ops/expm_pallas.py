@@ -76,36 +76,65 @@ def _pallas_squaring(Rr, Ri, s, max_squarings: int, interpret: bool = False):
 
 _PROBE_CACHE: dict[str, bool] = {}
 
+# error-message markers of a PERMANENT capability gap (Mosaic cannot
+# lower / the backend rejects the custom-call). Anything else — backend
+# still initializing, tunnel hiccup, device busy — is treated as
+# transient and NOT cached, so one bad first call cannot disable the
+# fast path for the whole process (ADVICE r3, low).
+_PERMANENT_MARKERS = ("Mosaic", "mosaic", "lowering", "Unsupported",
+                      "unsupported", "NotImplemented", "UNIMPLEMENTED",
+                      "custom_call")
+
+
+def reset_pallas_probe() -> None:
+    """Clear the cached probe result (e.g. after backend re-init)."""
+    _PROBE_CACHE.clear()
+
 
 def pallas_available() -> bool:
-    """One-time cached RUNTIME probe: compile + run a trivial kernel.
+    """Cached RUNTIME probe: compile + run the REAL squaring kernel.
 
     A static platform check is not enough here: tunneled TPU backends
     (axon) could not lower Mosaic custom-calls when this module was
     first written (2026-08-16: remote compile helper exited 1) but CAN
     now (re-probed 2026-08-19: the full squaring kernel compiles and
-    runs at 0.29 ms/call on the tunneled v5e). Probing an actual
-    pallas_call is the only check that tracks the backend's real
-    capability; the result is cached per process."""
+    runs at 0.29 ms/call on the tunneled v5e). The probe invokes
+    `_pallas_squaring` itself on a B=1, D=81 operand (the dim-3
+    superoperator shape) so it exercises everything the production
+    kernel needs — grid, SMEM scalar spec, MXU dots, fori_loop — not a
+    trivial elementwise kernel a backend could pass while still failing
+    the real lowering (ADVICE r3, medium).
+
+    Caching: True caches; False caches only for PERMANENT lowering
+    failures. If called while a jax trace is active the probe is
+    skipped entirely (returns False, uncached) — running it there would
+    concretize a tracer and poison the cache (ADVICE r3, medium)."""
     if not _PALLAS_OK or os.environ.get("NQS_DISABLE_PALLAS"):
         return False
     if "ok" in _PROBE_CACHE:
         return _PROBE_CACHE["ok"]
     try:
+        if not jax.core.trace_state_clean():
+            return False  # inside a trace: fall back, do NOT cache
+    except Exception:
+        pass  # API moved: proceed, the except below still protects us
+    try:
         if jax.devices()[0].platform not in ("tpu", "axon"):
             _PROBE_CACHE["ok"] = False
             return False
-
-        def _probe_kernel(x_ref, o_ref):
-            o_ref[...] = x_ref[...] + jnp.float32(1.0)
-
-        x = jnp.zeros((8, 128), jnp.float32)
-        y = pl.pallas_call(
-            _probe_kernel,
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(x)
-        _PROBE_CACHE["ok"] = bool(abs(float(y[0, 0]) - 1.0) < 1e-6)
-    except Exception:  # Mosaic lowering/compile unsupported here
-        _PROBE_CACHE["ok"] = False
+        D = 81
+        Rr = 2.0 * jnp.eye(D, dtype=jnp.float32)[None]
+        Ri = jnp.zeros((1, D, D), jnp.float32)
+        out_r, out_i = _pallas_squaring(Rr, Ri, jnp.ones((1,), jnp.int32),
+                                        max_squarings=2)
+        ok = (abs(float(out_r[0, 0, 0]) - 4.0) < 1e-4
+              and abs(float(out_i[0, 0, 0])) < 1e-4)
+        _PROBE_CACHE["ok"] = bool(ok)
+    except Exception as e:
+        msg = f"{type(e).__name__}: {e}"
+        if any(t in msg for t in _PERMANENT_MARKERS):
+            _PROBE_CACHE["ok"] = False  # capability gap: remember it
+        return False  # transient: retry on the next call
     return _PROBE_CACHE["ok"]
 
 
@@ -131,4 +160,5 @@ def fused_masked_squaring(R: jnp.ndarray, s: jnp.ndarray,
     return jax.lax.fori_loop(0, max_squarings, body, R)
 
 
-__all__ = ["fused_masked_squaring", "pallas_available"]
+__all__ = ["fused_masked_squaring", "pallas_available",
+           "reset_pallas_probe"]
