@@ -1,9 +1,16 @@
-"""Trapped-ion micro-physics: MS gates, motional modes, shuttling, readout.
+"""Trapped-ion micro-physics: analytic cross-checks + shuttling, readout.
 
 Implements the reference's comment-only trapped-ion layer
 (reference: src/qpu_simulator/micro_physics/trapped_ions/** — QCCD MS
 gates / shuttling / motional modes / measurement / cooling specs, e.g.
 qccd/gates.py:1-28 "MS gate -> CPTP map, duration, crosstalk").
+
+NOTE — the engine-driven simulation in ``gate/ms_gate.py`` is the
+authoritative MS-gate model: it evolves the spin (x) spin (x) motional
+Lindbladian through the shared solver and extracts the CPTP map by
+tomography. THIS module is the closed-form literature cross-check
+(order-of-magnitude error budget; used for fast sweeps and as a sanity
+pin in tests/test_ms_gate.py), not the oracle.
 
 Analytic error models from the standard trapped-ion literature
 (Soerensen & Moelmer PRA 62 022311; Ballance et al. PRL 117 060504):
@@ -11,7 +18,11 @@ Analytic error models from the standard trapped-ion literature
   MS gate infidelity contributions:
     thermal (Debye-Waller):   eps_th ~ (pi^2/2) nbar eta^4 K^2  (spectator
                                mode carrier coupling; simplified)
-    motional heating:         eps_heat ~ ndot * tau_gate * eta^2
+    motional heating:         eps_heat ~ ndot * tau_gate / 2   (gate mode:
+                               NOT eta^2-suppressed — heating displaces the
+                               phase-space loop directly; Ballance thesis
+                               §3.4, confirmed by the engine in
+                               gate/ms_gate.py to the same prefactor)
     motional dephasing:       eps_mot ~ (tau_gate / tau_mot_coh)^2 /2
     laser dephasing:          eps_las ~ tau_gate / T2_laser
     off-resonant scattering:  eps_sc ~ gamma_sc * tau_gate
@@ -85,7 +96,10 @@ def ms_gate(
     tau = TWO_PI * n_loops / detuning_from_mode
 
     eps_th = (np.pi ** 2 / 2.0) * nbar * eta ** 4
-    eps_heat = heating_rate_quanta_per_s * tau * eta ** 2 / 2.0
+    # gate-mode heating is NOT eta^2-suppressed: each quantum of heating
+    # during the loop decoheres the spin-dependent displacement directly
+    # (engine-verified in gate/ms_gate.py; Ballance thesis eq. 3.32)
+    eps_heat = heating_rate_quanta_per_s * tau / 2.0
     eps_mot = 0.5 * (tau / motional_coherence_time) ** 2
     eps_las = tau / laser_coherence_time
     eps_sc = scattering_rate * tau
