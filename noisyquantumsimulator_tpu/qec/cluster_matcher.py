@@ -67,8 +67,9 @@ import jax
 import jax.numpy as jnp
 
 from .decoders import MatchingGraph
-from .exact_matcher import (_build_level_tables, _chunked_decode,
-                            _dp_from_tables)
+from .exact_matcher import (_build_level_indices, _build_level_tables,
+                            _chunked_decode, _dp_from_tables,
+                            _dp_from_tables_gather)
 
 
 def _trunc_split3(M):
@@ -219,7 +220,13 @@ class ClusterMatcherTPU:
         p1_, p2_, p3_ = _trunc_split3(dist)
         par_b = jnp.asarray(par64.astype(np.float32)).astype(jnp.bfloat16)
         planes_stack = jnp.concatenate([p1_, p2_, p3_, par_b], axis=1)
-        tier_tabs = [(lo, hi, K, _build_level_tables(K),
+        # K <= 12 tiers run the one-hot matmul DP (MXU form); K >= 13
+        # tiers use the gather DP — their one-hot tables would exceed the
+        # tunnel's remote-compile request limit (HTTP 413) and HBM sense
+        # (K=14 mid-level M_pair alone ~392 MB f32)
+        tier_tabs = [(lo, hi, K,
+                      (_build_level_indices(K) if K > 12
+                       else _build_level_tables(K)),
                       max(64, min(int(np.ceil(rps * chunk)), chunk * MD)))
                      for lo, hi, K, rps in tiers]
         self.tier_capacities = {(lo, hi): cap
@@ -273,7 +280,9 @@ class ClusterMatcherTPU:
                 jnp.float32)                               # (cap, K, 4)
             Wb = Tb[:, :, 0] + Tb[:, :, 1] + Tb[:, :, 2]
             Pb = Tb[:, :, 3]
-            rp = _dp_from_tables(Wm, Pm, Wb, Pb, tables, K)
+            dp = (_dp_from_tables_gather if tables[0].get("gather")
+                  else _dp_from_tables)
+            rp = dp(Wm, Pm, Wb, Pb, tables, K)
             return jnp.where(ok, rp, 0), s_id, ok
 
         e_bnd = jnp.zeros((N + 1,), jnp.bfloat16).at[N].set(1)
@@ -507,9 +516,24 @@ def default_tiers(n_detectors: int):
     # demand starves every tier chunk-wide and flags ~20% of shots that
     # the device could have decoded exactly (measured: 35.7% total
     # escalation at d=13 vs 7.8% at d=11).
-    r = max(1.0, n_detectors / 720.0)
-    return ((3, 6, 6, 0.9 * r), (7, 8, 8, 0.2 * r),
-            (9, 10, 10, 0.16 * r), (11, 12, 12, 0.12 * r))
+    if n_detectors <= 900:
+        r = max(1.0, n_detectors / 720.0)
+        return ((3, 6, 6, 0.9 * r), (7, 8, 8, 0.2 * r),
+                (9, 10, 10, 0.16 * r), (11, 12, 12, 0.12 * r))
+    # d >= 13 class: the spatial decomposition saturates as the boundary
+    # recedes — measured per-shot component occupancy at d=13, p=1e-3
+    # over 24.6k shots: (3-6) 0.572, (7-8) 0.148, (9-10) 0.125, (11-12)
+    # 0.108, (13-14) 0.090, (15-16) 0.073, and P(maxcomp > 16) = 0.187
+    # (docs/TPU_ENGINES.md "d >= 13 ceiling"). Two gather-DP tiers
+    # (K=14/16, _build_level_indices) extend the on-device exact budget
+    # to 16-defect components; the 17+ tail is a measured property of the
+    # decomposition itself, not a capacity choice, and stays host-
+    # escalated. Capacities: measured occupancy x ~1.7 margin, scaled by
+    # n_det/1176.
+    r = max(1.0, n_detectors / 1176.0)
+    return ((3, 6, 6, 1.0 * r), (7, 8, 8, 0.25 * r),
+            (9, 10, 10, 0.21 * r), (11, 12, 12, 0.19 * r),
+            (13, 14, 14, 0.16 * r), (15, 16, 16, 0.13 * r))
 
 
 def cluster_matcher_for_circuit(circuit, chunk: int | None = None,

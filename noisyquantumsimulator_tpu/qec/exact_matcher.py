@@ -244,6 +244,111 @@ def _dp_from_tables(Wm, Pm, Wb, Pb, tables, K: int):
     return dp_prev1[1][:, 0].astype(jnp.int32)
 
 
+def _build_level_indices(K: int):
+    """GATHER-index level tables for the big-K DP (K = 13..16).
+
+    The one-hot matmul tables of _build_level_tables scale as
+    O(4^K * K): at K = 14 the mid-level M_pair alone is ~392 MB of f32
+    constants — beyond HBM sense and the tunneled v5e's remote-compile
+    request limit (HTTP 413, measured round 3). Index tables scale as
+    O(2^K * K) INTS: all sixteen K = 16 levels together are ~4 MB. The
+    DP then runs as row gathers over LEVEL-MAJOR (L, R) dp arrays (each
+    gather slice is R contiguous floats) instead of one-hot matmuls —
+    slower per row than the MXU form, but the big-K tiers only ever see
+    the rare heavy components (~0.1 rows/shot at d = 13, p = 1e-3), so
+    rows are few.
+
+    Per level k = 1..K (masks ascending within each popcount level,
+    identical ordering to _build_level_tables):
+      idx_bnd : (L,)   position of m ^ lowbit(m) in level k-1
+      sel_bi  : (L,)   i = lowbit(m): row of Wb^T
+      idx_pair: (L, W) position of m ^ {i, j} in level k-2 (0-padded)
+      sel_ij  : (L, W) i*K + j: row of Wm^T (0-padded)
+      pair_ok : (L, W) validity of padded pair columns
+    """
+    by_pop = [[] for _ in range(K + 1)]
+    for m in range(1 << K):
+        by_pop[bin(m).count("1")].append(m)
+    pos = [{m: i for i, m in enumerate(level)} for level in by_pop]
+    tables = []
+    for k in range(1, K + 1):
+        masks = by_pop[k]
+        L = len(masks)
+        W = K - 1
+        idx_bnd = np.zeros(L, np.int32)
+        sel_bi = np.zeros(L, np.int32)
+        idx_pair = np.zeros((L, W), np.int32)
+        sel_ij = np.zeros((L, W), np.int32)
+        pair_ok = np.zeros((L, W), bool)
+        for li, m in enumerate(masks):
+            i = (m & -m).bit_length() - 1
+            idx_bnd[li] = pos[k - 1][m ^ (1 << i)]
+            sel_bi[li] = i
+            col = 0
+            for j in range(i + 1, K):
+                if m >> j & 1:
+                    idx_pair[li, col] = pos[k - 2][m ^ (1 << i) ^ (1 << j)]
+                    sel_ij[li, col] = i * K + j
+                    pair_ok[li, col] = True
+                    col += 1
+        tables.append(dict(idx_bnd=idx_bnd, sel_bi=sel_bi,
+                           idx_pair=idx_pair, sel_ij=sel_ij,
+                           pair_ok=pair_ok, size=L, gather=True))
+    return tables
+
+
+def _dp_from_tables_gather(Wm, Pm, Wb, Pb, tables, K: int):
+    """The bitmask-DP level loop in GATHER form on level-major arrays.
+
+    Same recurrence, tie-break rule, and parity bookkeeping as
+    _dp_from_tables (tests pin bit-agreement on shared K), but dp lives
+    as (L, R) with R = rows minor — every jnp.take row gather moves R
+    contiguous floats — and the weight tables are transposed once to
+    (K*K, R)/(K, R). For K >= 13 this is the only form that compiles on
+    the tunneled v5e (see _build_level_indices)."""
+    R = Wm.shape[0]
+    big = jnp.asarray(np.float32(1e18), Wm.dtype)
+    WmT = Wm.reshape(R, K * K).T                       # (K*K, R)
+    PmT = Pm.reshape(R, K * K).T
+    WbT = Wb.T                                         # (K, R)
+    PbT = Pb.T
+
+    dp_prev2 = None                                    # ((L2,R) c, (L2,R) p)
+    dp_prev1 = (jnp.zeros((1, R), Wm.dtype), jnp.zeros((1, R), Wm.dtype))
+    for k in range(1, K + 1):
+        t = tables[k - 1]
+        L = t["size"]
+        W = K - 1
+        ib = jnp.asarray(t["idx_bnd"])
+        si = jnp.asarray(t["sel_bi"])
+        cost_b = jnp.take(dp_prev1[0], ib, axis=0) \
+            + jnp.take(WbT, si, axis=0)                # (L, R)
+        par_b = (jnp.take(dp_prev1[1], ib, axis=0)
+                 + jnp.take(PbT, si, axis=0)) % 2.0
+        if k >= 2:
+            ip = jnp.asarray(t["idx_pair"].reshape(-1))
+            sij = jnp.asarray(t["sel_ij"].reshape(-1))
+            ok = jnp.asarray(t["pair_ok"])             # (L, W)
+            cost_p = (jnp.take(dp_prev2[0], ip, axis=0)
+                      + jnp.take(WmT, sij, axis=0)).reshape(L, W, R)
+            par_p = ((jnp.take(dp_prev2[1], ip, axis=0)
+                      + jnp.take(PmT, sij, axis=0)) % 2.0).reshape(L, W, R)
+            cost_p = jnp.where(ok[:, :, None], cost_p, big)
+            cbest = jnp.min(cost_p, axis=1)            # (L, R)
+            is_min = cost_p <= cbest[:, None, :]
+            first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1)
+                              == 1)
+            pbest = jnp.sum(jnp.where(first, par_p, 0.0), axis=1)
+            use_b = cost_b <= cbest
+            dp_k = (jnp.where(use_b, cost_b, cbest),
+                    jnp.where(use_b, par_b, pbest))
+        else:
+            dp_k = (cost_b, par_b)
+        dp_prev2, dp_prev1 = dp_prev1, dp_k
+
+    return dp_prev1[1][0, :].astype(jnp.int32)         # level K: one mask
+
+
 def _mask_tables(K: int):
     """Host lookup tables for the backtrace: masks grouped by popcount
     (ascending within each level, matching _build_level_tables) and the

@@ -1358,3 +1358,91 @@ class TestClusterMatcherTPU:
         ref = ec.native.decode_batch_ex(dets, mode=0)["pred"] & 1
         assert (pred == ref).all()
         assert 0.0 < ec.last_flagged_fraction < 1.0
+
+    def test_gather_tiers_match_native_oracle(self):
+        """K=13/14 components decode on device through the GATHER DP
+        (exact_matcher._dp_from_tables_gather — index tables instead of
+        the one-hot matmul form, whose K>=14 constants exceed the
+        tunnel's remote-compile limit). Forcing mid-size components
+        through a K=14 gather tier must stay parity-identical to the
+        native f64 oracle on every certified shot."""
+        import jax.numpy as jnp
+        cm, nat, dets = self._setup(
+            9, 3e-3, 1024,
+            tiers=((3, 6, 6, 0.9), (7, 14, 14, 0.5), (15, 16, 16, 0.1)))
+        pred, ovf = cm.decode_device_with_overflow(jnp.asarray(dets))
+        pred = np.asarray(pred) & 1
+        ovf = np.asarray(ovf)
+        ref = nat.decode_batch_ex(dets, mode=0)["pred"] & 1
+        ok = ~ovf
+        assert ok.sum() > 1024 // 2
+        # the gather tier actually served components (size 7..14 exist
+        # in this regime)
+        maxc = nat.decode_batch_ex(dets, mode=0)["max_cluster"]
+        assert ((maxc >= 7) & (maxc <= 14) & ok).sum() > 0
+        assert (pred[ok] == ref[ok]).all()
+
+
+class TestGatherDP:
+    """exact_matcher._dp_from_tables_gather vs the one-hot DP and a
+    brute-force matcher: same recurrence, bit-identical tie-breaks."""
+
+    @staticmethod
+    def _brute(Wm, Pm, Wb, Pb):
+        K = Wb.shape[0]
+        best = [1e30, 0]
+
+        def rec(rem, cost, par):
+            if not rem:
+                if cost < best[0] - 1e-12:
+                    best[0], best[1] = cost, par
+                return
+            i = rem[0]
+            rest = rem[1:]
+            rec(rest, cost + Wb[i], par ^ int(Pb[i]))
+            for idx, j in enumerate(rest):
+                rec(rest[:idx] + rest[idx + 1:], cost + Wm[i, j],
+                    par ^ int(Pm[i, j]))
+
+        rec(list(range(K)), 0.0, 0)
+        return best[1]
+
+    @staticmethod
+    def _rand_tables(rng, R, K):
+        Wm = rng.uniform(0.1, 10, (R, K, K))
+        Wm = ((Wm + Wm.transpose(0, 2, 1)) / 2).astype(np.float32)
+        Wb = rng.uniform(0.1, 10, (R, K)).astype(np.float32)
+        Pm = rng.integers(0, 2, (R, K, K)).astype(np.float32)
+        Pm = np.triu(Pm, 1)
+        Pm = Pm + Pm.transpose(0, 2, 1)
+        Pb = rng.integers(0, 2, (R, K)).astype(np.float32)
+        return Wm, Pm, Wb, Pb
+
+    def test_agrees_with_onehot_dp(self, rng):
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            _build_level_indices, _build_level_tables, _dp_from_tables,
+            _dp_from_tables_gather)
+        for K in (4, 6, 8, 10):
+            Wm, Pm, Wb, Pb = self._rand_tables(rng, 37, K)
+            a = np.asarray(_dp_from_tables(
+                jnp.asarray(Wm), jnp.asarray(Pm), jnp.asarray(Wb),
+                jnp.asarray(Pb), _build_level_tables(K), K))
+            b = np.asarray(_dp_from_tables_gather(
+                jnp.asarray(Wm), jnp.asarray(Pm), jnp.asarray(Wb),
+                jnp.asarray(Pb), _build_level_indices(K), K))
+            assert np.array_equal(a, b), f"K={K}"
+
+    def test_agrees_with_brute_force_large_k(self, rng):
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.exact_matcher import (
+            _build_level_indices, _dp_from_tables_gather)
+        for K, R in ((9, 10), (13, 8), (14, 4)):
+            Wm, Pm, Wb, Pb = self._rand_tables(rng, R, K)
+            g = np.asarray(_dp_from_tables_gather(
+                jnp.asarray(Wm), jnp.asarray(Pm), jnp.asarray(Wb),
+                jnp.asarray(Pb), _build_level_indices(K), K))
+            bf = [self._brute(Wm[r].astype(float), Pm[r].astype(int),
+                              Wb[r].astype(float), Pb[r].astype(int))
+                  for r in range(R)]
+            assert list(map(int, g)) == bf, f"K={K}"
