@@ -31,9 +31,21 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the suite's wall-clock is DOMINATED by
+# tunnel compiles (measured: qec_d11 child 7m16s cold, of which ~6.5 min is
+# compile; a cached re-run of the d5 child went 2m35s -> 1m02s). The cache
+# lives in the repo so the driver's end-of-round capture hits the entries
+# this round's own runs populated. Must be set before jax backend init —
+# children inherit it through the environment.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
@@ -425,8 +437,12 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     edges, eprobs, eobs = dem_to_edges(build_dem(circuit))
     nat = (NativeMatchingDecoder(circuit.n_detectors, edges, eprobs, eobs)
            if native_available() else None)
-    # escalation fetch capacity: d=11 cluster flags reach ~10% of shots
-    cap = min(decode_shots, max(decode_shots // 8, 64))
+    # escalation fetch capacity: d=11 cluster flags reach ~10% of shots;
+    # d>=13 ~20% even with the K=14/16 gather tiers (the size>16
+    # component tail is 18.7% of shots — docs/TPU_ENGINES.md)
+    cap = min(decode_shots,
+              max(decode_shots // 8 if d <= 11 else (2 * decode_shots) // 5,
+                  64))
     if d <= 7:
         chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
@@ -775,14 +791,17 @@ def _git_commit() -> str:
 _SUITE = [
     ("gate_dim3", ["--one-gate"], 300),
     ("gate_dim4", ["--one-gate", "--dim4"], 300),
+    # decode reps sized so the published p_L carries >= ~100 expected
+    # errors at d <= 9 (VERDICT r3 #2); at d = 11 the count + CI are the
+    # published quantity (100 errors would need ~160 M shots)
     ("qec_d7", ["--qec", "--d", "7", "--rounds", "7",
-                "--shots", str(1 << 20)], 300),
+                "--shots", str(1 << 20), "--reps-decode", "6"], 420),
     ("qec_d9", ["--qec", "--d", "9", "--rounds", "9",
-                "--shots", str(1 << 18), "--decode-shots", str(1 << 17)],
-     360),
+                "--shots", str(1 << 18), "--decode-shots", str(1 << 17),
+                "--reps-decode", "27"], 600),
     ("qec_d11", ["--qec", "--d", "11", "--rounds", "11",
-                 "--shots", str(1 << 18), "--decode-shots", str(1 << 17)],
-     420),
+                 "--shots", str(1 << 18), "--decode-shots", str(1 << 17),
+                 "--reps-decode", "16"], 900),
     ("bb_ldpc", ["--bb", "--shots", str(1 << 16)], 420),
 ]
 
