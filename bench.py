@@ -357,17 +357,10 @@ def measure_parity(plan, rhos_zvode, dtype="complex64",
 
 
 def wilson_ci(k: int, n: int, z: float = 1.96):
-    """95% Wilson score interval for a binomial proportion — the CI every
-    published p_L cell must carry (VERDICT r3 #2: low-count cells were
-    published bare; the d=7 headline was a ~3-sigma-low fixed-seed draw).
-    Well-behaved at k=0 (unlike the normal approximation)."""
-    if n <= 0:
-        return (0.0, 1.0)
-    p = k / n
-    den = 1.0 + z * z / n
-    ctr = (p + z * z / (2 * n)) / den
-    hw = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
-    return (max(0.0, ctr - hw), min(1.0, ctr + hw))
+    """95% Wilson CI for every published p_L cell (VERDICT r3 #2);
+    canonical implementation lives in utils.math, shared with studies."""
+    from noisyquantumsimulator_tpu.utils.math import wilson_ci as _w
+    return _w(k, n, z)
 
 
 def _sims_per_sec(step, scales, batch, reps=10):
@@ -604,9 +597,13 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
     sampler = build_fast_sampler(circuit, shots)
     # bf16 fast tier: BP is HBM-bandwidth-bound and a fast-tier result
     # is only kept after an exact int32 residual-syndrome check, so the
-    # reduced precision costs retries, never correctness
+    # reduced precision costs retries, never correctness. The retry
+    # tier runs damped min-sum (min-sum with memory) — it converges
+    # ~10x more of the tail than the plain 60-iter retry, so the host
+    # OSD residue and its device->host fetch nearly vanish.
     dec = DemBPDecoder(circuit, n_iters=60, kernel="slots",
-                       fast_iters=fast_iters, fast_dtype=jnp.bfloat16)
+                       fast_iters=fast_iters, fast_dtype=jnp.bfloat16,
+                       retry_damping=0.5, retry_iters=90)
     bits = jnp.arange(k, dtype=jnp.int32)
     cap = min(shots, max(shots // 64, 32))   # residual-compaction rows
 
@@ -621,19 +618,24 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
         take = lambda a: jnp.take(a, idx, axis=0)  # noqa: E731
         return (jnp.sum(fail & ~bad), jnp.sum(bad),
                 take(o["detectors"].astype(jnp.uint8)), take(beliefs),
-                take(obs), take(bad))
+                take(obs))
 
     e2e_j = jax.jit(e2e)
     int(e2e_j(jax.random.PRNGKey(0))[0])  # warm-up fence
 
-    def osd_host(dets_r, bel_r, obs_r, bad_r):
-        """OSD-0 the residue rows; returns failures among them."""
-        sel = np_.asarray(bad_r)
-        if not sel.any():
+    def osd_host(nb, dets_r, bel_r, obs_r):
+        """OSD-0 the residue rows; returns failures among them.
+
+        top_k ordered the non-converged shots FIRST in the residue
+        block, so rows [:nb] are exactly the bad ones — slicing on
+        device before np.asarray fetches nb rows, not the full cap
+        (cap=1024 f32 belief rows ≈ 7.5 MB over a tunneled backend;
+        the damped retry typically leaves nb in the single digits)."""
+        if nb == 0:
             return 0
-        dets_h = np_.asarray(dets_r)[sel]
-        bel_h = np_.asarray(bel_r)[sel]
-        obs_h = np_.asarray(obs_r)[sel]
+        dets_h = np_.asarray(dets_r[:nb])
+        bel_h = np_.asarray(bel_r[:nb])
+        obs_h = np_.asarray(obs_r[:nb])
         try:
             from noisyquantumsimulator_tpu.qec.native import (
                 osd0_batch_native)
@@ -649,14 +651,17 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
 
     t0 = time.perf_counter()
     fails = bad = 0
-    for r in range(reps):
-        f, b, dets_r, bel_r, obs_r, bad_r = e2e_j(
-            jax.random.PRNGKey(1000 * seed + 100 + r))
-        if int(b) > cap:
+    # dispatch every rep before syncing any: XLA queues the device work
+    # back-to-back and the host OSD of rep r overlaps rep r+1's compute
+    outs = [e2e_j(jax.random.PRNGKey(1000 * seed + 100 + r))
+            for r in range(reps)]
+    for f, b, dets_r, bel_r, obs_r in outs:
+        nb = int(b)
+        if nb > cap:
             raise RuntimeError(  # see main_qec: no silent undercounts
-                f"residue fetch cap {cap} < non-converged {int(b)}")
-        fails += int(f) + osd_host(dets_r, bel_r, obs_r, bad_r)
-        bad += int(b)
+                f"residue fetch cap {cap} < non-converged {nb}")
+        fails += int(f) + osd_host(nb, dets_r, bel_r, obs_r)
+        bad += nb
     dt = time.perf_counter() - t0
     n_tot = shots * reps
 
@@ -669,8 +674,9 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
         "n_detectors": circuit.n_detectors,
         "n_mechanisms": dec.n_mech,
         "backend": jax.devices()[0].platform,
-        "decoder": (f"tiered slot-BP (min-sum {fast_iters}/60 iters) "
-                    "+ C++ OSD-0 on the non-converged residue"),
+        "decoder": (f"tiered slot-BP (min-sum {fast_iters} iters bf16 + "
+                    "damped min-sum 90-iter retry) + C++ OSD-0 on the "
+                    "non-converged residue"),
         "e2e_p_logical_shot": fails / n_tot,
         "e2e_n_errors": fails,
         "e2e_n_decoded": n_tot,

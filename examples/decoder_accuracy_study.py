@@ -222,8 +222,10 @@ def main() -> None:
             prev = json.load(f).get("points", [])
     merged = {r["d"]: r for r in prev}
     merged.update({r["d"]: r for r in rows})
+    from noisyquantumsimulator_tpu.utils.observability import \
+        provenance_stamp
     with open(out, "w") as f:
-        json.dump({"p": p, "backend": jax.devices()[0].platform,
+        json.dump({"p": p, **provenance_stamp(),
                    "points": [merged[k] for k in sorted(merged)]}, f,
                   indent=1)
     print(f"wrote {out}")

@@ -84,6 +84,9 @@ def main(n_steps: int = 300, iters: int = 400, lr: float = 2e-3) -> None:
           f"F={f1:.6f} cost={float(cost1):.3f}")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "grape_result.json")
+    from noisyquantumsimulator_tpu.utils.observability import \
+        provenance_stamp
+    out.update(provenance_stamp())
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

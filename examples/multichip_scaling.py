@@ -151,6 +151,9 @@ def main() -> None:
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "multichip_scaling.json")
+    from noisyquantumsimulator_tpu.utils.observability import \
+        provenance_stamp
+    results.update(provenance_stamp())
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")

@@ -28,7 +28,7 @@ import time
 
 
 def run_point(d: int, rounds: int, p: float, sample_shots: int,
-              decode_shots: int):
+              decode_shots: int, seed: int = 0):
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.qec.fast_sampler import build_fast_sampler
@@ -37,7 +37,8 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         tiered_matcher_for_circuit)
 
     circuit = memory_z_circuit(d, rounds, p=p)
-    block = min(sample_shots, 1 << 20 if d <= 7 else 1 << 18)
+    block = min(sample_shots,
+                1 << 20 if d <= 7 else (1 << 18 if d <= 13 else 1 << 17))
     sampler = build_fast_sampler(circuit, block)
     out = sampler(jax.random.PRNGKey(0))
     int(jnp.sum(out["detectors"].astype(jnp.int32)))  # warm-up fence
@@ -71,7 +72,8 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     # (space decomposition saturates as chains lengthen at fixed p), so
     # the escalation fetch must size for it; the run is then host-decode
     # heavy but the p_L point stays exact
-    cap = min(decode_shots, max(decode_shots // (8 if d < 13 else 2), 64))
+    cap = decode_shots if d >= 15 else \
+        min(decode_shots, max(decode_shots // (8 if d < 13 else 2), 64))
     if d <= 7:
         chunk = min(16384, decode_shots)
         dec = tiered_matcher_for_circuit(circuit, k_light=6, k_heavy=K,
@@ -85,12 +87,17 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         # since the combo rewrite dropped the (S, 25, n_det+1) f32 plane
         # intermediates, 4096-chunks are stable through d=13 (n_det=1092)
         chunk = min(4096, decode_shots)
+        tiers = default_tiers(circuit.n_detectors)
         dec = ClusterMatcherTPU(circuit.n_detectors, edges, eprobs, eobs,
-                                chunk=chunk, max_slots=24,
-                                tiers=default_tiers(circuit.n_detectors))
+                                chunk=chunk, max_slots=24, tiers=tiers)
+        ks = "/".join(str(t[2]) for t in tiers)
         decoder_name = ("on-device exact cluster decomposition "
-                        "(K=6/8/10/12 size-class DPs) + host "
-                        "cluster-exact escalation of flagged shots")
+                        f"(K={ks} size-class DPs) + host "
+                        "cluster-exact escalation of flagged shots"
+                        + ("; HOST-ASSISTED regime: the >16-defect "
+                           "component tail is a measured property of "
+                           "the spatial decomposition at this distance "
+                           "(docs/TPU_ENGINES.md)" if d >= 13 else ""))
     sampler_dec = build_fast_sampler(circuit, decode_shots)
 
     def sample_stage(key):
@@ -143,10 +150,13 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
 
     int(e2e_j(jax.random.PRNGKey(100))[0])  # warm-up fence
     # p_L shrinks ~5x per distance step with an exact decoder, so the
-    # shot budget must GROW with d for the p_L column to carry meaning
-    # (d=11 true-MWPM p_L is ~1e-5-class: 3 reps of 2^17 would see ~2
-    # errors; 24 reps see ~15)
-    reps_d = {9: 8, 11: 24, 13: 24}.get(d, 3)
+    # shot budget must GROW with d for the p_L column to carry meaning.
+    # Budgets sized so cells at d <= 9 carry >= ~100 expected errors
+    # (VERDICT r3 #2: the round-3 d=7 headline 9.4e-5 was a ~3-sigma-low
+    # 37-error fixed-seed draw vs the true ~1.47e-4); at d >= 11 a
+    # 100-error cell would need >= 10^7-10^8 shots, so the published
+    # quantity there is the COUNT with its Wilson CI.
+    reps_d = {3: 3, 5: 3, 7: 8, 9: 26, 11: 36, 13: 36, 15: 24}.get(d, 3)
     t0 = time.perf_counter()
     errs = ovf = errs_host = 0
     # dispatch device work a few reps ahead (async), then drain: rep r's
@@ -159,7 +169,10 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
     ri = 0
     while ri < reps_d or pending:
         while ri < reps_d and len(pending) < 4:
-            pending.append(e2e_j(jax.random.PRNGKey(200 + ri)))
+            # --seed shifts the whole stream: re-runs draw FRESH shot
+            # blocks, so no fixed-key draw can calcify into the record
+            pending.append(e2e_j(jax.random.PRNGKey(
+                100000 * seed + 200 + ri)))
             ri += 1
         n_err, n_ovf, packed_f, obs_f, ovf_f = pending.popleft()
         sel = np.asarray(ovf_f)
@@ -178,6 +191,7 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         ovf += int(n_ovf)
     dt_d = time.perf_counter() - t0
     n_dec = decode_shots * reps_d
+    from noisyquantumsimulator_tpu.utils.math import wilson_ci
     return {
         "d": d, "rounds": rounds, "p": p,
         "n_detectors": circuit.n_detectors,
@@ -185,6 +199,9 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         "sample_shots_per_sec": shots_done / dt_s,
         "e2e_sample_decode_shots_per_sec": n_dec / dt_d,
         "e2e_p_logical_shot": (errs + errs_host) / n_dec,
+        "n_errors": errs + errs_host,
+        "p_L_ci95": list(wilson_ci(errs + errs_host, n_dec)),
+        "seed": seed,
         "e2e_escalated_fraction": ovf / n_dec,
         # the VERDICT-requested split: p_L measured separately on the
         # escalated (host-exact) and device-decoded shot populations
@@ -212,17 +229,21 @@ def main() -> None:
                    sys.argv[sys.argv.index("--ds") + 1].split(","))
     sample_shots = (1 << 16) if small else (1 << 19)
     decode_shots = (1 << 14) if small else (1 << 17)
+    seed = int(sys.argv[sys.argv.index("--seed") + 1]) \
+        if "--seed" in sys.argv else 0
     p = 1e-3
     rows = []
     print(f"{'d':>3} {'n_det':>6} {'sample shots/s':>14} "
-          f"{'e2e shots/s':>12} {'p_L/shot':>10} {'escalated':>9}")
+          f"{'e2e shots/s':>12} {'p_L/shot':>10} {'errs':>5} "
+          f"{'escalated':>9}")
     for d in ds:
-        r = run_point(d, d, p, sample_shots, decode_shots)
+        r = run_point(d, d, p, sample_shots, decode_shots, seed=seed)
         rows.append(r)
         print(f"{d:>3} {r['n_detectors']:>6} "
               f"{r['sample_shots_per_sec']:>14.0f} "
               f"{r['e2e_sample_decode_shots_per_sec']:>12.0f} "
               f"{r['e2e_p_logical_shot']:>10.2e} "
+              f"{r['n_errors']:>5} "
               f"{r['e2e_escalated_fraction']:>9.2e}", flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "qec_scale.json")
@@ -232,8 +253,10 @@ def main() -> None:
             prev = json.load(f).get("points", [])
     merged = {r["d"]: r for r in prev}
     merged.update({r["d"]: r for r in rows})
+    from noisyquantumsimulator_tpu.utils.observability import \
+        provenance_stamp
     with open(out, "w") as f:
-        json.dump({"backend": jax.devices()[0].platform,
+        json.dump({**provenance_stamp(),
                    "device": str(jax.devices()[0]),
                    "points": [merged[d] for d in sorted(merged)]}, f,
                   indent=1)

