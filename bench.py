@@ -621,21 +621,27 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
                 take(obs))
 
     e2e_j = jax.jit(e2e)
-    int(e2e_j(jax.random.PRNGKey(0))[0])  # warm-up fence
+    RBLK = 64
+    _w = e2e_j(jax.random.PRNGKey(0))
+    int(_w[0])  # warm-up fence
+    for _a in _w[2:5]:
+        np_.asarray(_a[:RBLK])  # warm the fixed-shape residue fetch path
+
+    # RBLK: fixed residue fetch block — a varying [:nb] slice shape
+    #            recompiles per distinct nb on a tunneled backend
+    #            (measured ~0.5 s per fresh slice executable, 4.5 s of a
+    #            6.3 s run); top_k ordered bad rows FIRST, so [:RBLK]
+    #            covers the damped-retry residue (~24/rep) with margin,
+    #            and nb > RBLK falls back to the full cap block once
 
     def osd_host(nb, dets_r, bel_r, obs_r):
-        """OSD-0 the residue rows; returns failures among them.
-
-        top_k ordered the non-converged shots FIRST in the residue
-        block, so rows [:nb] are exactly the bad ones — slicing on
-        device before np.asarray fetches nb rows, not the full cap
-        (cap=1024 f32 belief rows ≈ 7.5 MB over a tunneled backend;
-        the damped retry typically leaves nb in the single digits)."""
+        """OSD-0 the residue rows; returns failures among them."""
         if nb == 0:
             return 0
-        dets_h = np_.asarray(dets_r[:nb])
-        bel_h = np_.asarray(bel_r[:nb])
-        obs_h = np_.asarray(obs_r[:nb])
+        lim = RBLK if nb <= RBLK else cap
+        dets_h = np_.asarray(dets_r[:lim])[:nb]
+        bel_h = np_.asarray(bel_r[:lim])[:nb]
+        obs_h = np_.asarray(obs_r[:lim])[:nb]
         try:
             from noisyquantumsimulator_tpu.qec.native import (
                 osd0_batch_native)

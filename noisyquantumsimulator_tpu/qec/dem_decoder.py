@@ -61,7 +61,8 @@ class DemBPDecoder:
                  min_prob: float = 1e-12, kernel: str = "slots",
                  fast_iters: int = 0, fast_dtype=jnp.float32,
                  retry_damping: float = 0.5,
-                 retry_iters: Optional[int] = None):
+                 retry_iters: Optional[int] = None,
+                 fast_impl: str = "auto"):
         dem = build_dem(circuit).merged()
         mechs = [m for m in dem.mechanisms if m.probability > min_prob]
         if not mechs:
@@ -85,6 +86,19 @@ class DemBPDecoder:
         self._llr = jnp.asarray(llr.astype(np.float32))
         if fast_iters >= n_iters:
             raise ValueError("fast_iters must be below n_iters")
+        # fast_impl: "auto" probes the Pallas c2v kernel at init (outside
+        # any trace) and, where it runs, also routes the variable-side
+        # sum through the MXU one-hot form; "xla" pins the portable
+        # gather path (the bit-exactness reference for tests)
+        if fast_impl == "auto":
+            from .bp_kernels import bp_pallas_available
+            use_fast = kernel == "slots" and bp_pallas_available()
+        elif fast_impl == "pallas":
+            use_fast = True
+        elif fast_impl == "xla":
+            use_fast = False
+        else:
+            raise ValueError(f"unknown fast_impl {fast_impl!r}")
 
         def make_bp(iters, dtype=jnp.float32, damping=0.0):
             if kernel == "slots":
@@ -95,7 +109,9 @@ class DemBPDecoder:
                 return partial(_bp_slots, llr_var=self._llr,
                                tables=tables, n_chk=self.n_det,
                                n_var=self.n_mech, n_iters=iters,
-                               scale=scale, dtype=dtype, damping=damping)
+                               scale=scale, dtype=dtype, damping=damping,
+                               pallas_c2v=use_fast,
+                               onehot_varsum=use_fast)
             if kernel != "edges":
                 raise ValueError(f"unknown BP kernel {kernel!r}")
             if dtype != jnp.float32:

@@ -445,7 +445,8 @@ def build_slot_tables(chk: np.ndarray, var: np.ndarray, n_chk: int,
 
 
 def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale,
-              dtype=jnp.float32, damping: float = 0.0):
+              dtype=jnp.float32, damping: float = 0.0,
+              pallas_c2v: bool = False, onehot_varsum: bool = False):
     """Normalized min-sum BP in dense check-slot layout (TPU fast path).
 
     Same message schedule and per-check min1/min2 extrinsic rule as
@@ -474,6 +475,15 @@ def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale,
     EXACT residual-syndrome check (DemBPDecoder's tiering does) lose no
     correctness guarantee, only the occasional extra retry.
 
+    pallas_c2v runs the check-node update as a VMEM-resident Pallas
+    kernel (qec.bp_kernels.c2v_pallas — one HBM read + one write per
+    iteration instead of XLA's ~6 materialized passes; 8.3x on the
+    check update at S=65k). onehot_varsum computes the variable-side
+    sum as an MXU one-hot matmul instead of a row gather (1.4x; f32
+    accumulation, then cast — can differ from the sequential gather sum
+    in the last ulp, which the exact residual-syndrome tiering absorbs).
+    Both default off; DemBPDecoder turns them on after a runtime probe.
+
     damping > 0 blends each new variable->check message with the
     previous iterate, msg <- (1-g)*new + g*old ("min-sum with memory").
     Plain min-sum OSCILLATES on the short cycles of a circuit-level DEM
@@ -493,36 +503,69 @@ def _bp_slots(syn, llr_var, tables, n_chk, n_var, n_iters, scale,
     cpos_of_vslot = jnp.asarray(tables["cpos_of_vslot"])       # (n_var, d)
     big = jnp.asarray(1e30, dtype)
     llr_var = llr_var.astype(dtype)
+    scale_f = float(scale)
     scale = jnp.asarray(scale, dtype)
     sgn_syn = (1.0 - 2.0 * syn.T).astype(dtype)                # (n_chk, S)
     llr_pos = jnp.where(pad_c, big, llr_var[var_of_cpos])      # (Ec,)
     msg_vc = jnp.broadcast_to(llr_pos[:, None], (Ec, S))
 
-    def c2v(msg_vc):
-        m = msg_vc.reshape(w_max, n_chk, S)
-        one = jnp.ones((), m.dtype)              # keep f32 under x64
-        sgn = jnp.where(m < 0, -one, one)        # padding (+big) -> +1
-        mag = jnp.abs(m)
-        m1 = jnp.min(mag, axis=0)                              # (n_chk, S)
-        is1 = mag == m1[None]
-        cnt = jnp.sum(is1.astype(jnp.int32), axis=0)
-        m2 = jnp.min(jnp.where(is1, big, mag), axis=0)
-        prod = jnp.prod(sgn, axis=0) * sgn_syn                 # (n_chk, S)
-        # same tie rule as _bp_edges: an edge holding the UNIQUE minimum
-        # sees m2; tied minima all see m1
-        ext_min = jnp.where(is1 & (cnt == 1)[None], m2[None], m1[None])
-        ext_sgn = prod[None] * sgn
-        return (scale * ext_sgn * ext_min).reshape(Ec, S)
+    from .bp_kernels import c2v_pallas, c2v_pallas_supported
+    use_pallas = pallas_c2v and c2v_pallas_supported(n_chk, S, dtype)
 
-    def v2c(msg_cv):
-        # append the sentinel slot (value 0) for var-layout padding
-        mc = jnp.concatenate(
-            [msg_cv, jnp.zeros((1, S), msg_cv.dtype)], axis=0)
-        gathered = jnp.take(mc, cpos_of_vslot.reshape(-1), axis=0)
-        gathered = gathered.reshape(n_var, tables["d_max"], S)
-        total = llr_var[:, None] + jnp.sum(gathered, axis=1)   # (n_var, S)
-        back = jnp.take(total, var_of_cpos, axis=0) - msg_cv   # (Ec, S)
-        return jnp.where(pad_c[:, None], big, back), total
+    if use_pallas:
+        def c2v(msg_vc):
+            m3 = msg_vc.reshape(w_max, n_chk, S)
+            return c2v_pallas(m3, sgn_syn, scale_f).reshape(Ec, S)
+    else:
+        def c2v(msg_vc):
+            m = msg_vc.reshape(w_max, n_chk, S)
+            one = jnp.ones((), m.dtype)          # keep f32 under x64
+            sgn = jnp.where(m < 0, -one, one)    # padding (+big) -> +1
+            mag = jnp.abs(m)
+            m1 = jnp.min(mag, axis=0)                          # (n_chk, S)
+            is1 = mag == m1[None]
+            cnt = jnp.sum(is1.astype(jnp.int32), axis=0)
+            m2 = jnp.min(jnp.where(is1, big, mag), axis=0)
+            prod = jnp.prod(sgn, axis=0) * sgn_syn             # (n_chk, S)
+            # same tie rule as _bp_edges: an edge holding the UNIQUE
+            # minimum sees m2; tied minima all see m1
+            ext_min = jnp.where(is1 & (cnt == 1)[None], m2[None], m1[None])
+            ext_sgn = prod[None] * sgn
+            return (scale * ext_sgn * ext_min).reshape(Ec, S)
+
+    if onehot_varsum:
+        # one-hot (n_var, Ec) selection matrix: the variable-side sum
+        # rides the MXU instead of a row gather. Padding slots simply
+        # have no 1 anywhere, so no sentinel row is needed.
+        A1 = tables.get("_onehot_A1")
+        if A1 is None:
+            import numpy as _np
+            cp = tables["cpos_of_vslot"]
+            vv = _np.repeat(_np.arange(n_var), cp.shape[1])
+            pp = cp.reshape(-1)
+            keep = pp < Ec
+            A1 = _np.zeros((n_var, Ec), _np.float32)
+            A1[vv[keep], pp[keep]] = 1.0
+            tables["_onehot_A1"] = A1
+        A1j = jnp.asarray(A1).astype(dtype)
+
+        def v2c(msg_cv):
+            tot = jax.lax.dot_general(
+                A1j, msg_cv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
+            total = llr_var[:, None] + tot                     # (n_var, S)
+            back = jnp.take(total, var_of_cpos, axis=0) - msg_cv
+            return jnp.where(pad_c[:, None], big, back), total
+    else:
+        def v2c(msg_cv):
+            # append the sentinel slot (value 0) for var-layout padding
+            mc = jnp.concatenate(
+                [msg_cv, jnp.zeros((1, S), msg_cv.dtype)], axis=0)
+            gathered = jnp.take(mc, cpos_of_vslot.reshape(-1), axis=0)
+            gathered = gathered.reshape(n_var, tables["d_max"], S)
+            total = llr_var[:, None] + jnp.sum(gathered, axis=1)
+            back = jnp.take(total, var_of_cpos, axis=0) - msg_cv
+            return jnp.where(pad_c[:, None], big, back), total
 
     if damping:
         g = jnp.asarray(damping, dtype)

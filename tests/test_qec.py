@@ -1229,6 +1229,57 @@ class TestBPSlotKernel:
         # sanity-check the decoder still converges the bulk
         assert bd.mean() < 0.05
 
+    def test_onehot_varsum_matches_gather(self):
+        """The MXU one-hot variable-sum must reproduce the gather form
+        (f32: exact sums of <= d_max terms, identical hard decisions)."""
+        import jax.numpy as jnp
+        from functools import partial
+        from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
+        from noisyquantumsimulator_tpu.qec.ldpc import (_bp_slots,
+                                                        build_slot_tables)
+        c, dets, _ = self._setup()
+        dec = DemBPDecoder(c, n_iters=20, kernel="slots",
+                           fast_impl="xla")
+        chk, var = np.nonzero(dec.H)
+        tables = build_slot_tables(chk.astype(np.int64),
+                                   var.astype(np.int64),
+                                   dec.n_det, dec.n_mech)
+        syn = jnp.asarray(dets[:256], jnp.float32)
+        bp = partial(_bp_slots, llr_var=dec._llr, tables=tables,
+                     n_chk=dec.n_det, n_var=dec.n_mech, n_iters=20,
+                     scale=0.75)
+        h0, b0 = bp(syn)
+        h1, b1 = bp(syn, onehot_varsum=True)
+        assert (np.asarray(h0) == np.asarray(h1)).mean() > 0.999
+        assert np.abs(np.asarray(b0) - np.asarray(b1)).max() < 1e-3
+
+    def test_pallas_c2v_interpret_matches_xla(self):
+        """Kernel-level parity: the Pallas check-node update (interpret
+        mode, runs on CPU) against the XLA slab formulation, including
+        the unique-min tie rule and padding (+big) slots."""
+        import jax.numpy as jnp
+        from noisyquantumsimulator_tpu.qec.bp_kernels import c2v_pallas
+        rng = np.random.default_rng(7)
+        w, n_chk, S = 5, 16, 128
+        m = rng.normal(size=(w, n_chk, S)).astype(np.float32)
+        m[3, :, :] = 1e30  # a padding slab
+        # force ties in a few columns
+        m[1, :, :8] = m[0, :, :8]
+        sgn_syn = np.sign(rng.normal(size=(n_chk, S))).astype(np.float32)
+        big = jnp.asarray(1e30, jnp.float32)
+        mj = jnp.asarray(m)
+        sgn = jnp.where(mj < 0, -1.0, 1.0)
+        mag = jnp.abs(mj)
+        m1 = jnp.min(mag, axis=0)
+        is1 = mag == m1[None]
+        cnt = jnp.sum(is1.astype(jnp.int32), axis=0)
+        m2 = jnp.min(jnp.where(is1, big, mag), axis=0)
+        prod = jnp.prod(sgn, axis=0) * jnp.asarray(sgn_syn)
+        ext_min = jnp.where(is1 & (cnt == 1)[None], m2[None], m1[None])
+        ref = 0.75 * prod[None] * sgn * ext_min
+        out = c2v_pallas(mj, jnp.asarray(sgn_syn), 0.75, interpret=True)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
     def test_decode_batch_osd_cleans_tail(self):
         from noisyquantumsimulator_tpu.qec.dem_decoder import DemBPDecoder
         c, dets, obs = self._setup()
