@@ -74,10 +74,18 @@ __all__ = ["MSGateSimResult", "build_ms_system", "simulate_ms_gate",
 # operators (host numpy, complex128 — offline calibration-scale work)
 # --------------------------------------------------------------------------
 
-_SX = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
-_SY = np.array([[0.0, -1j], [1j, 0.0]], dtype=complex)
-_SZ = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
-_I2 = np.eye(2, dtype=complex)
+# shared with gate/cavity_gate.py through gate/open_system.py; the old
+# private names stay as aliases for existing importers/tests
+from .open_system import I2 as _I2
+from .open_system import SX as _SX
+from .open_system import SY as _SY
+from .open_system import SZ as _SZ
+from .open_system import gh_nodes as _gh_nodes
+from .open_system import kron3 as _two_ion_mode
+from .open_system import propagators_host as _propagators_host
+from .open_system import qubit_channel_host as _qubit_channel_from_props
+from .open_system import qubit_channel_jax as _qubit_channel_jax
+from .open_system import thermal_state as _thermal_state
 
 
 def _sideband_lowering(n_fock: int, eta: float,
@@ -94,22 +102,6 @@ def _sideband_lowering(n_fock: int, eta: float,
     B = np.zeros((n_fock, n_fock), dtype=complex)
     B[np.arange(n_fock - 1), np.arange(1, n_fock)] = amp
     return B
-
-
-def _two_ion_mode(op_q1: np.ndarray, op_q2: np.ndarray,
-                  op_m: np.ndarray) -> np.ndarray:
-    return np.kron(np.kron(op_q1, op_q2), op_m)
-
-
-def _thermal_state(n_fock: int, nbar: float) -> np.ndarray:
-    if nbar <= 0:
-        p = np.zeros(n_fock)
-        p[0] = 1.0
-    else:
-        r = nbar / (1.0 + nbar)
-        p = r ** np.arange(n_fock)
-        p /= p.sum()
-    return np.diag(p).astype(complex)
 
 
 def build_ms_system(
@@ -204,34 +196,6 @@ def _ideal_ms_unitary() -> np.ndarray:
     return (np.cos(np.pi / 4) * np.eye(4) - 1j * np.sin(np.pi / 4) * XX)
 
 
-def _gh_nodes(n: int, sigma: float):
-    """Gauss-Hermite nodes/weights for averaging f(eps), eps~N(0,sigma^2)."""
-    x, w = np.polynomial.hermite_e.hermegauss(n)
-    return sigma * x, w / w.sum()
-
-
-def _qubit_channel_from_props(U_props: np.ndarray, weights: np.ndarray,
-                              rho_th: np.ndarray, n_fock: int) -> np.ndarray:
-    """Average the propagator ensemble and project to the 2-qubit channel:
-    S[:, 4k+l] = vec( Tr_mode[ U (|k><l| (x) rho_th) ] ), row-major vec."""
-    D = 4 * n_fock
-    # 16 operator-basis inputs |k><l| (x) rho_th
-    rhos = np.zeros((16, D, D), dtype=complex)
-    for k in range(4):
-        for l_ in range(4):
-            q = np.zeros((4, 4), dtype=complex)
-            q[k, l_] = 1.0
-            rhos[k * 4 + l_] = np.kron(q, rho_th)
-    vec = rhos.reshape(16, D * D)
-    S16 = np.zeros((16, 16), dtype=complex)
-    for U, w in zip(U_props, weights):
-        out = vec @ U.T                                 # (16, D^2)
-        outm = out.reshape(16, 4, n_fock, 4, n_fock)
-        q_out = np.einsum("binjn->bij", outm)            # trace mode
-        S16 += w * q_out.reshape(16, 16).T               # column per input
-    return S16
-
-
 @dataclass
 class MSGateSimResult:
     """Spec contract (qccd/gates.py:20-28) + the engine-level extras."""
@@ -253,69 +217,6 @@ class MSGateSimResult:
         for k, v in sorted(self.error_budget.items(),
                            key=lambda kv: -kv[1]):
             print(f"  {k:>22s}: {v:.2e}")
-
-
-def _propagators_host(Ls: np.ndarray, tau: float) -> np.ndarray:
-    """exp(L tau) for a stack of Liouvillians (M, D^2, D^2): the scipy
-    complex128 oracle (engine="host")."""
-    from scipy.linalg import expm as scipy_expm
-    return np.stack([scipy_expm(L * tau) for L in Ls])
-
-
-def _probe_basis(rho_th: np.ndarray, n_fock: int) -> np.ndarray:
-    """Real (16, D^2) row-major vec of the inputs |k><l| (x) rho_th
-    (rho_th is a real diagonal thermal state, so every probe is real)."""
-    D = 4 * n_fock
-    rhos = np.zeros((16, D * D))
-    for k in range(4):
-        for l_ in range(4):
-            q = np.zeros((4, 4))
-            q[k, l_] = 1.0
-            rhos[k * 4 + l_] = np.kron(q, rho_th.real).reshape(-1)
-    return rhos
-
-
-def _qubit_channel_jax(Ls: np.ndarray, w: np.ndarray, tau: float,
-                       rho_th: np.ndarray, n_fock: int) -> np.ndarray:
-    """engine="jax": the repo's device solver path — batched float64-PLANE
-    expm (ops/expm.expm_planes, the same kernel behind the gate engine's
-    on-device f64 parity tier; TPU rejects complex128 but emulates f64)
-    plus the mode-trace projection ON DEVICE, GH-weight-summed on device.
-
-    Only the (16,16) channel planes cross the device->host link. That is
-    load-bearing, not a nicety: the axon transport cannot move complex
-    buffers at all (a (D^2, D^2) c64 get fails UNIMPLEMENTED; even a
-    16x16 c64 get hangs — measured this round), so the heavy operands
-    must stay resident and the result must come home as float planes.
-    """
-    import jax
-    import jax.numpy as jnp
-    from ..ops.expm import expm_planes
-    vec = _probe_basis(rho_th, n_fock)
-    with jax.enable_x64(True):
-        # per-node plane puts keep each host->device transfer ~(D^2)^2*8B
-        Ur_l, Ui_l = [], []
-        for m in range(Ls.shape[0]):
-            Lr = jnp.asarray((Ls[m].real * tau).astype(np.float64))
-            Li = jnp.asarray((Ls[m].imag * tau).astype(np.float64))
-            r, i = expm_planes(Lr, Li)
-            Ur_l.append(r)
-            Ui_l.append(i)
-        Ur = jnp.stack(Ur_l)
-        Ui = jnp.stack(Ui_l)
-        V = jnp.asarray(vec.astype(np.float64))
-        wj = jnp.asarray(np.asarray(w, np.float64))
-        # out[m, b, j] = (V @ U_m^T)[b, j]; trace the mode; weight-sum
-        outr = jnp.einsum("bi,mji->mbj", V, Ur)
-        outi = jnp.einsum("bi,mji->mbj", V, Ui)
-        M = Ls.shape[0]
-        shp = (M, 16, 4, n_fock, 4, n_fock)
-        qr = jnp.einsum("m,mbinjn->bij", wj, outr.reshape(shp))
-        qi = jnp.einsum("m,mbinjn->bij", wj, outi.reshape(shp))
-        # column per input (the host path's .T)
-        Sr = np.asarray(qr.reshape(16, 16).T)
-        Si = np.asarray(qi.reshape(16, 16).T)
-    return Sr + 1j * Si
 
 
 def simulate_ms_gate(
