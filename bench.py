@@ -671,7 +671,7 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
     dt = time.perf_counter() - t0
     n_tot = shots * reps
 
-    print(json.dumps({
+    rec = {
         "metric": "gross_code_e2e_sample_bp_decode_shots_per_sec",
         "value": round(n_tot / dt, 0),
         "unit": "shots/s",
@@ -689,7 +689,9 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
         "e2e_p_logical_ci95": list(wilson_ci(fails, n_tot)),
         "bp_nonconverged_frac": bad / n_tot,
         "seed": seed,
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 def main(batch: int = 128, n_steps: int = 300, curve: bool = False,

@@ -1,0 +1,104 @@
+"""Engine-driven cavity-gate study: simulate, calibrate, cross-check.
+
+Runs the Lindblad-engine cavity exchange gate (gate/cavity_gate.py — the
+authoritative cavity-QED model, per the reference contract
+reference: src/qpu_simulator/micro_physics/cavity_qed/** "JC cavity gates
+-> CPTP map + duration") at named operating points, writes the resulting
+CPTP maps into the calibration store
+(calibration_data/cavity_qed/exchange_gate/<regime>.json — the same
+L0->L1 handoff the Rydberg CZ and trapped-ion MS paths use), and records
+an engine-vs-analytic error-budget comparison in
+examples/cavity_gate_engine.json. The analytic module
+(physics/cavity_qed.photon_mediated_gate) appears only as the
+cross-check column.
+
+Usage: python examples/cavity_gate_engine_study.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from noisyquantumsimulator_tpu.channels.calibration import CalibrationStore
+from noisyquantumsimulator_tpu.core.constants import TWO_PI
+from noisyquantumsimulator_tpu.gate.cavity_gate import (
+    cavity_calibration_record, simulate_cavity_gate)
+from noisyquantumsimulator_tpu.physics.cavity_qed import (
+    photon_mediated_gate)
+
+# Named operating points; numbers follow the groups named in
+# models/hardware_configs.py (Rempe-style Rb fiber cavity; a
+# circuit-QED-class point where the exchange gate is the native 2q gate).
+REGIMES = {
+    "rb_fiber_cavity": dict(
+        g=TWO_PI * 10e6, kappa=TWO_PI * 100e3, gamma_spont=TWO_PI * 30e3,
+        dephasing_rate=TWO_PI * 5e3, nbar_cavity=0.0,
+        cavity_drift_sigma=0.0, n_loops=21),
+    "circuit_qed_exchange": dict(
+        g=TWO_PI * 50e6, kappa=TWO_PI * 50e3, gamma_spont=TWO_PI * 10e3,
+        dephasing_rate=TWO_PI * 20e3, nbar_cavity=0.02,
+        cavity_drift_sigma=0.0, n_loops=21),
+}
+
+
+def main() -> None:
+    store = CalibrationStore(
+        root=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "calibration_data"))
+    from noisyquantumsimulator_tpu.utils.observability import \
+        provenance_stamp
+    out = {**provenance_stamp(),
+           "engine": "gate/cavity_gate.py (Lindblad atom x atom x cavity, "
+                     "rotating-frame exact expm, closed photon exchange)",
+           "regimes": {}}
+    for regime, kw in REGIMES.items():
+        t0 = time.time()
+        r = simulate_cavity_gate(n_fock=6, **kw)
+        wall = time.time() - t0
+        a = photon_mediated_gate(g=kw["g"], kappa=kw["kappa"],
+                                 gamma=kw["gamma_spont"],
+                                 technique="raman_virtual")
+        path = store.save(cavity_calibration_record(r, regime))
+        top = sorted(((k, float(v)) for k, v in r.error_budget.items()),
+                     key=lambda kv: -kv[1])
+        out["regimes"][regime] = {
+            "calibration_record": os.path.relpath(
+                path, os.path.join(os.path.dirname(__file__), "..")),
+            "engine_infidelity": 1.0 - r.fidelity,
+            "engine_process_infidelity": 1.0 - r.process_fidelity,
+            "analytic_infidelity_crosscheck": 1.0 - a.fidelity,
+            "cooperativity": r.cooperativity,
+            "cphase_angle": r.cphase_angle,
+            "duration_s": r.duration,
+            "leakage": r.leakage,
+            "cptp": bool(r.completely_positive and r.trace_preserving),
+            "budget_top3": top[:3],
+            "dominant_pauli_errors": _top_paulis(r.error_map_pauli),
+            "sim_wall_s": round(wall, 2),
+        }
+        print(f"{regime}: 1-F={1 - r.fidelity:.3e} "
+              f"(analytic cross-check {1 - a.fidelity:.3e}), "
+              f"tau={r.duration * 1e6:.2f} us, C={r.cooperativity:.0f}, "
+              f"record -> {path}")
+    dest = os.path.join(os.path.dirname(__file__),
+                        "cavity_gate_engine.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {dest}")
+
+
+def _top_paulis(probs, k: int = 3):
+    from noisyquantumsimulator_tpu.channels.conversions import pauli_basis
+    labels, _ = pauli_basis(2)
+    pairs = [(lab, float(p)) for lab, p in zip(labels, probs)
+             if lab != "II"]
+    pairs.sort(key=lambda kv: -kv[1])
+    return pairs[:k]
+
+
+if __name__ == "__main__":
+    main()

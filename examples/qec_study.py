@@ -94,12 +94,28 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     quick = "--quick" in sys.argv
     ds = (3, 5) if quick else (3, 5, 7, 9, 11, 13)
+    if "--ds" in sys.argv:
+        # measure a subset of distances and MERGE into the existing JSON
+        # (Lambda/teraquop are recomputed from the merged table) — lets
+        # the expensive d>=13 host-exact cells extend a published study
+        # without re-burning the d<=11 budget
+        ds = tuple(int(x) for x in
+                   sys.argv[sys.argv.index("--ds") + 1].split(","))
     ps = (1e-3, 2e-3, 4e-3) if quick else (5e-4, 1e-3, 2e-3, 4e-3, 8e-3)
 
     from noisyquantumsimulator_tpu.qec.surface_code import teraquop_footprint
 
     table = {}
     shots_used = {}
+    path = os.path.join(HERE, "qec_study.json")
+    if "--ds" in sys.argv and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for key, v in prev.get("table", {}).items():
+            dd, pp = key[1:].split("_p")
+            table[(int(dd), float(pp))] = v
+            shots_used[(int(dd), float(pp))] = prev.get("shots", {}).get(
+                key, 0)
     for d in ds:
         for p in ps:
             shots = shot_budget(d, p, quick)
@@ -115,19 +131,23 @@ def main():
     # ratio there is a shot-budget artifact, not a suppression factor).
     lambdas = {}
     lambda_steps = {}
+    all_ds = sorted({d for d, _ in table})
     for p in ps:
-        ratios = [table[(ds[i], p)] / max(table[(ds[i + 1], p)], 1e-12)
-                  for i in range(len(ds) - 1)]
+        col = [d for d in all_ds if (d, p) in table]
+        ratios = [table[(col[i], p)] / max(table[(col[i + 1], p)], 1e-12)
+                  for i in range(len(col) - 1)]
         ok = [r for i, r in enumerate(ratios)
-              if table[(ds[i + 1], p)] > 0]
+              if table[(col[i + 1], p)] > 0]
         lambdas[p] = float(np.mean(ok)) if ok else float("nan")
         lambda_steps[p] = ratios
         print(f"p={p:.0e}: Lambda = {lambdas[p]:.2f} "
               f"(per-step: {[f'{r:.1f}' for r in ratios]})")
 
     p_op = 1e-3
-    tq = teraquop_footprint(table[(ds[-1], p_op)], ds[-1])
-    print(f"teraquop distance estimate at p={p_op:.0e}: d = {tq}")
+    d_max = max(d for d, pp in table if pp == p_op and table[(d, pp)] > 0)
+    tq = teraquop_footprint(table[(d_max, p_op)], d_max)
+    print(f"teraquop distance estimate at p={p_op:.0e}: d = {tq} "
+          f"(anchored at measured d={d_max})")
 
     out = {
         "table": {f"d{d}_p{p}": v for (d, p), v in table.items()},
