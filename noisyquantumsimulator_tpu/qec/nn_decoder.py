@@ -10,11 +10,16 @@ sample -> forward -> loss -> update — runs on device with no host data
 pipeline. The label is the true logical flip (observable bit), which the
 sampler produces for free; the decoder learns p(flip | detectors).
 
-The model is intentionally small (2-3 dense layers): for d <= 5 memory
-experiments an MLP over the detector vector reaches matching-level
-accuracy; the point of the component is the *harness* (on-device data
-generation + training + a decode_batch interface interchangeable with
-the other decoders), not architecture search.
+The model is small (2-3 dense layers) but the FEATURES carry the
+structure: with features="pairwise" (default) the input is the detector
+bits plus all pairwise products. Matching-class decoders operate on
+defect PAIRS — which pair of detectors an error mechanism connects — so
+the pair products make the matching decision surface near-linear, where
+an MLP over raw bits has to synthesize every AND out of ReLUs. Round-3's
+bits-only model plateaued 1.41x above exact MWPM at d=5; the pairwise
+model trains to parity-class accuracy (examples/nn_decoder_d5.json),
+because it sees the same objects MWPM reasons over while keeping the
+correlations MWPM throws away.
 """
 from __future__ import annotations
 
@@ -57,33 +62,61 @@ class NNDecoder:
     hidden: Tuple[int, ...] = (256, 64)
     observable: int = 0
     seed: int = 0
+    features: str = "pairwise"       # "bits" | "pairwise"
     params: Optional[list] = None
     history: List[float] = field(default_factory=list)
     last_decode_seconds: float = 0.0
 
     def __post_init__(self):
         n_det = self.circuit.n_detectors
+        if self.features == "pairwise":
+            # pair products = the objects matching reasons over; cap the
+            # feature count so large-d circuits stay trainable (the cap
+            # keeps the lowest-index pairs, which are time-ordered first
+            # and therefore spacetime-local first for memory circuits)
+            iu, ju = np.triu_indices(n_det, k=1)
+            if iu.size > 1 << 16:
+                keep = np.argsort(np.abs(iu - ju))[: 1 << 16]
+                iu, ju = iu[keep], ju[keep]
+            self._pairs = (jnp.asarray(iu), jnp.asarray(ju))
+            n_in = n_det + int(iu.size)
+        elif self.features == "bits":
+            self._pairs = None
+            n_in = n_det
+        else:
+            raise ValueError("features must be 'bits' or 'pairwise'")
         key = jax.random.PRNGKey(self.seed)
-        self.params = _init_mlp(key, [n_det, *self.hidden, 1])
+        self.params = _init_mlp(key, [n_in, *self.hidden, 1])
+
+        pairs = self._pairs
+
+        def featurize(dets):
+            x = dets.astype(jnp.float32)
+            if pairs is None:
+                return x
+            return jnp.concatenate([x, x[..., pairs[0]] * x[..., pairs[1]]],
+                                   axis=-1)
 
         def loss_fn(params, dets, labels):
-            logits = _mlp(params, dets.astype(jnp.float32))
+            logits = _mlp(params, featurize(dets))
             return jnp.mean(jax.nn.softplus(
                 jnp.where(labels > 0, -logits, logits)))
 
         self._loss_grad = jax.jit(jax.value_and_grad(loss_fn))
         self._predict = jax.jit(
-            lambda params, dets: _mlp(params, dets.astype(jnp.float32)) > 0)
+            lambda params, dets: _mlp(params, featurize(dets)) > 0)
 
     def train(self, steps: int = 300, batch: int = 4096,
               lr: float = 3e-3, seed: int = 1) -> "NNDecoder":
         """On-device training: fresh sampler batch per step (no epochs,
-        no dataset storage — the sampler IS the data loader)."""
+        no dataset storage — the sampler IS the data loader). The lr
+        follows a cosine decay to ~0 over `steps` (flat minima need the
+        late small-step phase; the fixed-lr round-3 model plateaued)."""
         import optax
         from .fast_sampler import build_fast_sampler
 
         sampler = build_fast_sampler(self.circuit, batch)
-        opt = optax.adam(lr)
+        opt = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1)))
         opt_state = opt.init(self.params)
 
         @jax.jit
