@@ -903,7 +903,37 @@ def main_all(full: bool = False) -> None:
     out = update_canon()
     out["records"].update({n: r for n, r in records.items()
                            if "value" not in r})
-    print(json.dumps(out), flush=True)
+    print(compact_summary_line(out), flush=True)
+
+
+def compact_summary_line(out: dict) -> str:
+    """The FINAL stdout line of the suite: a COMPACT summary.
+
+    The driver keeps only a 2,000-char tail of stdout; the full combined
+    record outgrew it in round 4 (rc=0 but parsed=null). Full per-record
+    JSON is already streamed line-by-line as each workload lands and
+    persisted in BENCH_CANON.json — the last line carries just the
+    headline value plus a per-workload digest and stays under 1,500
+    chars by construction (hard backstop drops the digest entirely).
+    """
+    digest = {}
+    for n, r in out.get("records", {}).items():
+        if "value" not in r:
+            digest[n] = {"error": str(r.get("error", ""))[:60]}
+            continue
+        d = {"value": r["value"], "unit": r.get("unit")}
+        for k_src, k_dst in (("e2e_sample_decode_shots_per_sec", "e2e"),
+                             ("e2e_p_logical_shot", "p_L"),
+                             ("e2e_n_errors", "n_err")):
+            if k_src in r:
+                d[k_dst] = r[k_src]
+        digest[n] = d
+    head = {"metric": out.get("metric"), "value": out.get("value"),
+            "unit": out.get("unit"), "vs_baseline": out.get("vs_baseline")}
+    line = json.dumps({**head, "summary": digest})
+    if len(line) > 1500:  # hard backstop: never outgrow the tail again
+        line = json.dumps(head)
+    return line
 
 
 if __name__ == "__main__":
