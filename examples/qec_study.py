@@ -101,6 +101,12 @@ def main():
         # without re-burning the d<=11 budget
         ds = tuple(int(x) for x in
                    sys.argv[sys.argv.index("--ds") + 1].split(","))
+        if quick:
+            # merging 20k-shot --quick cells into a full-budget artifact
+            # would mix incompatible statistics unmarked
+            raise SystemExit("--ds cannot be combined with --quick: it "
+                             "merges reduced-budget cells into the "
+                             "full-budget artifact")
     ps = (1e-3, 2e-3, 4e-3) if quick else (5e-4, 1e-3, 2e-3, 4e-3, 8e-3)
 
     from noisyquantumsimulator_tpu.qec.surface_code import teraquop_footprint
@@ -132,7 +138,11 @@ def main():
     lambdas = {}
     lambda_steps = {}
     all_ds = sorted({d for d, _ in table})
-    for p in ps:
+    # recompute lambda over the UNION of p columns in the (possibly
+    # merged) table, not just this run's ps — a --ds extension run must
+    # not silently drop the previous artifact's p columns on rewrite
+    all_ps = sorted({p for _, p in table})
+    for p in all_ps:
         col = [d for d in all_ds if (d, p) in table]
         ratios = [table[(col[i], p)] / max(table[(col[i + 1], p)], 1e-12)
                   for i in range(len(col) - 1)]
@@ -144,10 +154,18 @@ def main():
               f"(per-step: {[f'{r:.1f}' for r in ratios]})")
 
     p_op = 1e-3
-    d_max = max(d for d, pp in table if pp == p_op and table[(d, pp)] > 0)
-    tq = teraquop_footprint(table[(d_max, p_op)], d_max)
-    print(f"teraquop distance estimate at p={p_op:.0e}: d = {tq} "
-          f"(anchored at measured d={d_max})")
+    nonzero_ds = [d for d, pp in table if pp == p_op and table[(d, pp)] > 0]
+    if nonzero_ds:
+        d_max = max(nonzero_ds)
+        tq = teraquop_footprint(table[(d_max, p_op)], d_max)
+        print(f"teraquop distance estimate at p={p_op:.0e}: d = {tq} "
+              f"(anchored at measured d={d_max})")
+    else:
+        # no nonzero cell at the operating p (e.g. a --ds run whose merged
+        # table lacks p=1e-3): still write the measured table
+        d_max, tq = None, None
+        print(f"teraquop estimate skipped: no nonzero p_L cell at "
+              f"p={p_op:.0e}")
 
     out = {
         "table": {f"d{d}_p{p}": v for (d, p), v in table.items()},

@@ -192,6 +192,22 @@ class TestBenchSummaryLine:
         for name in out.get("records", {}):
             assert name in parsed["summary"], name
 
+    def test_readme_not_stale_vs_canon(self):
+        """README's CANON_ROWS must match BENCH_CANON.json (VERDICT r4
+        #2: round 4 shipped a README contradicting the repo's own canon,
+        including a disavowed p_L). `gen_readme_table.py --check` exits
+        1 on drift; this makes that drift a test failure."""
+        import pathlib, subprocess, sys
+        root = pathlib.Path(__file__).resolve().parents[1]
+        if not (root / "BENCH_CANON.json").exists():
+            pytest.skip("no BENCH_CANON.json yet")
+        r = subprocess.run(
+            [sys.executable, str(root / "examples/gen_readme_table.py"),
+             "--check"], capture_output=True, text=True, timeout=60)
+        assert r.returncode == 0, (
+            "README.md canon rows are stale — run "
+            "`python examples/gen_readme_table.py`:\n" + r.stdout + r.stderr)
+
     def test_summary_backstop_on_bloated_records(self):
         import json
         bench, _ = self._load_bench()
