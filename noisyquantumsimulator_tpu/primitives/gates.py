@@ -150,10 +150,20 @@ class TwoQubitGate(GatePrimitive):
             H2 = np.kron(np.eye(2), h.metadata["unitary"])
             era = unitary_superop(H2)
             error_map = era @ cz.error_map @ era
+            # twirled probs of the derived channel vs the CX target (the
+            # H conjugation permutes the CZ error Paulis X<->Z on the
+            # target), plus the two wrapper-H depolarizing weights
+            from ..channels.pauli import twirled_error_probs
+            CX = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                           [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+            probs = twirled_error_probs(error_map, CX)
+            p_h = 2.0 * max(0.0, 1.0 - h.fidelity)
+            probs = (1.0 - p_h) * probs + p_h * depolarizing_probs(1.0, 2)
             return GateResult(
                 duration=cz.duration + 2 * h.duration,
                 fidelity=cz.fidelity * h.fidelity ** 2,
-                error_map=error_map, leakage=cz.leakage,
+                error_map=error_map, pauli_error_probs=probs,
+                leakage=cz.leakage,
                 crosstalk=cz.crosstalk, loss_probability=cz.loss_probability,
                 metadata={"gate": "cx", "derived_from": "cz"})
         raise ValueError(f"Unknown two-qubit gate: {gate_type}")

@@ -520,20 +520,21 @@ def default_tiers(n_detectors: int):
         r = max(1.0, n_detectors / 720.0)
         return ((3, 6, 6, 0.9 * r), (7, 8, 8, 0.2 * r),
                 (9, 10, 10, 0.16 * r), (11, 12, 12, 0.12 * r))
-    # d >= 13 class: the spatial decomposition saturates as the boundary
-    # recedes — measured per-shot component occupancy at d=13, p=1e-3
-    # over 24.6k shots: (3-6) 0.572, (7-8) 0.148, (9-10) 0.125, (11-12)
-    # 0.108, (13-14) 0.090, (15-16) 0.073, and P(maxcomp > 16) = 0.187
-    # (docs/TPU_ENGINES.md "d >= 13 ceiling"). Two gather-DP tiers
-    # (K=14/16, _build_level_indices) extend the on-device exact budget
-    # to 16-defect components; the 17+ tail is a measured property of the
-    # decomposition itself, not a capacity choice, and stays host-
-    # escalated. Capacities: measured occupancy x ~1.7 margin, scaled by
-    # n_det/1176.
+    # d >= 13 class: K <= 12 DP tiers + host escalation of the rest.
+    # The round-4 default added gather-form K=14/16 tiers here; the
+    # per-tier cost profile (examples/profile_d13_tiers.json, measured
+    # on-chip at d=13, p=1e-3, 32k shots) showed they price EVERY chunk
+    # for a 13-16-defect occupancy of ~0.16/shot and crush device
+    # throughput 145k -> 29k shots/s while the escalation they save
+    # (0.360 -> 0.197) is worth only 3.9e-6 s/shot at the measured
+    # 41.8k-flagged-shots/s host rate. Pipelined e2e ceilings: K<=12
+    # 116k (host-bound), K<=14 79k, K<=16 29k (device-bound) — the
+    # K<=12 ladder wins by 1.5-4x. The gather-form K=14/16 tiers stay
+    # available by explicit tiers=((..., (13,14,14,c), (15,16,16,c)))
+    # for hosts with faster escalation decode.
     r = max(1.0, n_detectors / 1176.0)
     return ((3, 6, 6, 1.0 * r), (7, 8, 8, 0.25 * r),
-            (9, 10, 10, 0.21 * r), (11, 12, 12, 0.19 * r),
-            (13, 14, 14, 0.16 * r), (15, 16, 16, 0.13 * r))
+            (9, 10, 10, 0.21 * r), (11, 12, 12, 0.19 * r))
 
 
 def cluster_matcher_for_circuit(circuit, chunk: int | None = None,

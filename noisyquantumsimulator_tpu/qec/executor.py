@@ -59,10 +59,15 @@ def compiled_to_error_circuit(compiled, backend=None,
       measure— record flip + reset
       idle   — T1/T2 Pauli rates over each qubit's idle windows
     """
+    ms_pauli_probs = None
     if backend is not None:
         if cz_pauli_probs is None:
             cz = backend.cz()
             cz_pauli_probs = np.asarray(cz.pauli_error_probs)
+        # platform-native MS channel (IonBackend): price "ms" ops with
+        # the calibrated MS Pauli probs, not the derived-CZ ones
+        if hasattr(backend, "ms"):
+            ms_pauli_probs = np.asarray(backend.ms().pauli_error_probs)
         if p1 is None:
             sq = backend.rx(0, np.pi / 2)
             p1 = max(0.0, 1.0 - sq.fidelity)
@@ -85,8 +90,11 @@ def compiled_to_error_circuit(compiled, backend=None,
             c.append("DEPOLARIZE1", list(op.qubits), arg=p1)
         elif name in ("cz", "cx", "ms"):
             pair = np.asarray([list(op.qubits)], dtype=np.int32)
-            if cz_pauli_probs is not None:
-                c.append("PAULI_CHANNEL_2", pair, probs=cz_pauli_probs)
+            probs2 = (ms_pauli_probs if (name == "ms"
+                                         and ms_pauli_probs is not None)
+                      else cz_pauli_probs)
+            if probs2 is not None:
+                c.append("PAULI_CHANNEL_2", pair, probs=probs2)
             else:
                 c.append("DEPOLARIZE2", pair, arg=10 * p1)
         elif name in ("m", "measure", "mr", "readout"):

@@ -146,3 +146,86 @@ class TestBackend:
         for k in ("cz_fidelity", "cz_duration_us", "measure_fidelity"):
             assert k in s
         assert 0.9 < s["cz_fidelity"] < 1.0
+
+
+class TestIonBackend:
+    """Layer-1 trapped-ion primitives consuming the round-4 MS-gate
+    Lindblad calibration (reference: docs/ARCHITECTURE.md:171-178 maps
+    TwoQubitGate -> MS for ions; micro_physics/trapped_ions/qccd specs)."""
+
+    @pytest.fixture(scope="class")
+    def ion(self):
+        from noisyquantumsimulator_tpu.primitives.ion_backend import IonBackend
+        return IonBackend()
+
+    def test_cz_decomposition_exact(self):
+        """CZ = e^{i pi/4} (SdgH (x) SdgH) U_MS (H (x) H) up to phase."""
+        from noisyquantumsimulator_tpu.primitives.ion_backend import (
+            _L1, _L2, CZ_MATRIX)
+        from noisyquantumsimulator_tpu.gate.ms_gate import _ideal_ms_unitary
+        U = _L2 @ _ideal_ms_unitary() @ _L1
+        ph = U[0, 0]
+        assert abs(abs(ph) - 1.0) < 1e-12
+        assert np.allclose(U, ph * CZ_MATRIX, atol=1e-12)
+
+    def test_loads_disk_calibration(self, ion):
+        assert ion.ms_calibration.platform == "trapped_ions"
+        assert ion.ms_calibration.operation == "ms_gate"
+        assert ion.ms_calibration.metadata.get("generator") == \
+            "noisyquantumsimulator_tpu.gate.ms_gate"
+
+    def test_ms_gate_result(self, ion):
+        ms = ion.ms()
+        assert 0.99 < ms.fidelity < 1.0
+        assert ms.pauli_error_probs.shape == (16,)
+        assert np.isclose(ms.pauli_error_probs.sum(), 1.0, atol=1e-6)
+        cp, tp = is_cptp(ms.error_map)
+        assert cp and tp
+
+    def test_derived_cz_channel(self, ion):
+        """Conjugating the calibrated MS channel by the exact Clifford
+        locals must cost only the wrapper pulses: F_cz within the
+        4-wrapper-pulse budget of F_ms, and the dominant errors rotate
+        from the MS frame (XI/IX laser dephasing) into ZI/IZ."""
+        ms, cz = ion.ms(), ion.cz()
+        assert cz.fidelity <= ms.fidelity + 1e-12
+        assert ms.fidelity - cz.fidelity < 1e-4     # cheap wrappers
+        labels = ion.ms_calibration.pauli_labels
+        pz = cz.pauli_error_probs[labels.index("ZI")]
+        px = cz.pauli_error_probs[labels.index("XI")]
+        assert pz > 10 * px
+        cp, tp = is_cptp(cz.error_map)
+        assert cp and tp
+
+    def test_cx_derived(self, ion):
+        cx = ion.two_qubit(0, 1, "cx")
+        assert cx.duration > ion.cz().duration
+        assert 0.99 < cx.fidelity < 1.0
+
+    def test_shuttle_and_cool(self, ion):
+        mv = ion.move(0, 0.0, 200e-6)
+        assert mv.duration > 0 and mv.heating_quanta > 0
+        jn = ion.move(0, 0.0, 200e-6, junction=True)
+        assert jn.heating_quanta > mv.heating_quanta
+        cl = ion.cool(0, initial_nbar=5.0)
+        assert cl.final_nbar < 1e-3                 # sideband-resolved
+        assert cl.duration > 0
+
+    def test_measure_confusion_from_fluorescence(self, ion):
+        m = ion.measure()
+        assert m.fidelity > 0.999
+        assert np.allclose(m.confusion_matrix.sum(axis=1), 1.0)
+
+    def test_executor_duck_type(self, ion):
+        """qec/executor.py prices circuits through backend.cz()/rx()/
+        measure()/T1/T2 — the ion backend must satisfy that interface."""
+        from noisyquantumsimulator_tpu.qec.compiler import (Gate,
+                                                             compile_circuit)
+        from noisyquantumsimulator_tpu.qec.executor import execute
+        from noisyquantumsimulator_tpu.qec.topology import grid_topology
+        gates = [Gate("h", (0,)), Gate("cx", (0, 1))]
+        compiled = compile_circuit(gates, grid_topology(1, 2),
+                                   platform="trapped_ions")
+        assert any(op.name == "ms" for op in compiled.ops)
+        res = execute(compiled, backend=ion, shots=2000, seed=3)
+        assert 0.0 < res.p_any_error < 0.2
