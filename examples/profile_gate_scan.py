@@ -1,0 +1,112 @@
+"""Where do the gate engine's 65 ms go? (VERDICT r4 #7: the 501k sims/s
+real-rep scan has been flat since round 3; Mosaic now compiles here, so
+either measure a VMEM-resident win or the measured reason there is none.)
+
+Times, at the bench shape (batch=32768 schedules x 4 states x 81 real
+coords, 300 segments, f32 HIGHEST):
+  - the production evolve_real_phased_many scan,
+  - the same scan with unroll in {2, 4, 8} (dispatch-overhead probe),
+  - the matmul-only scan (rotation removed: the pure-MXU lower bound),
+  - the rotation-only scan (the pure-VPU cost),
+so the gap decomposes into MXU / VPU / overhead before any kernel is
+written. Writes examples/profile_gate_scan.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def timeit(fn, *args, reps=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from noisyquantumsimulator_tpu.solver.real_rep import (_rotate,
+                                                           build_real_rep)
+    from noisyquantumsimulator_tpu.gate.simulate import (plan_cz_gate,
+                                                         plan_phase_frame)
+    from noisyquantumsimulator_tpu.core.configs import (
+        SmoothJPSimulationInputs)
+
+    B, S, n_steps = 32768, 4, 300
+    D, P = 9, 36
+    n = D + 2 * P
+    plan = plan_cz_gate(SmoothJPSimulationInputs(), n_steps_smooth=n_steps,
+                        hilbert_space_dim=3)
+    g = plan_phase_frame(plan)
+    rep = build_real_rep(g, D)
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32) * 0.1
+                    + np.eye(n, dtype=np.float32))
+    cq = jnp.asarray(rep.cq.astype(np.float32))
+    phases = jnp.asarray(
+        np.linspace(0.95, 1.05, B, dtype=np.float32)[:, None]
+        * np.asarray(plan.schedule.phases, np.float32)[None])
+    x0 = jnp.asarray(rng.standard_normal((S, n)).astype(np.float32))
+    Prec = lax.Precision.HIGHEST
+    res = {"B": B, "S": S, "n": n, "n_steps": n_steps}
+
+    def make_scan(unroll, do_rotate=True, do_matmul=True):
+        @jax.jit
+        def run(U, cq, ph, x0):
+            dphi = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.float32), ph[:, :-1] - ph[:, 1:]],
+                axis=1)
+            v0 = jnp.broadcast_to(x0[None], (B, S, n))
+            UrT = U.T
+
+            def body(v, dphi_k):
+                if do_rotate:
+                    v = _rotate(v, dphi_k[:, None], cq, D, P)
+                if do_matmul:
+                    v = jnp.matmul(v.reshape(B * S, n), UrT,
+                                   precision=Prec).reshape(B, S, n)
+                return v, None
+
+            v, _ = lax.scan(body, v0, dphi.T, unroll=unroll)
+            return v
+
+        return run
+
+    for name, kw in (
+            ("production_unroll1", dict(unroll=1)),
+            ("unroll2", dict(unroll=2)),
+            ("unroll4", dict(unroll=4)),
+            ("unroll8", dict(unroll=8)),
+            ("matmul_only", dict(unroll=1, do_rotate=False)),
+            ("matmul_only_unroll4", dict(unroll=4, do_rotate=False)),
+            ("rotate_only", dict(unroll=1, do_matmul=False)),
+    ):
+        t = timeit(make_scan(**kw), U, cq, phases, x0)
+        res[f"t_{name}_s"] = t
+        print(f"{name:>22s}: {t*1e3:8.2f} ms "
+              f"({B / t:,.0f} sims/s)", flush=True)
+
+    from noisyquantumsimulator_tpu.utils.observability import provenance_stamp
+    res.update(provenance_stamp())
+    with open(os.path.join(HERE, "profile_gate_scan.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print("wrote examples/profile_gate_scan.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

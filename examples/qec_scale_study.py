@@ -171,8 +171,18 @@ def run_point(d: int, rounds: int, p: float, sample_shots: int,
         while ri < reps_d and len(pending) < 4:
             # --seed shifts the whole stream: re-runs draw FRESH shot
             # blocks, so no fixed-key draw can calcify into the record
-            pending.append(e2e_j(jax.random.PRNGKey(
-                100000 * seed + 200 + ri)))
+            outs = e2e_j(jax.random.PRNGKey(100000 * seed + 200 + ri))
+            # start the device->host copies NOW: over the tunneled
+            # backend the packed escalation fetch is ~0.7 s/rep at d=13
+            # (9.6 MB at ~14 MB/s) and np.asarray() would serialize it
+            # into the single-core host-decode stream; async copies ride
+            # alongside the next reps' device compute instead
+            for a in outs:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    break
+            pending.append(outs)
             ri += 1
         n_err, n_ovf, packed_f, obs_f, ovf_f = pending.popleft()
         sel = np.asarray(ovf_f)
