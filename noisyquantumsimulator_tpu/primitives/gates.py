@@ -62,9 +62,30 @@ class SingleQubitGate(GatePrimitive):
 
     def __init__(self, omega_raman: float = TWO_PI * 1e6,
                  scattering_rate: float = 2.0,
-                 rz_is_virtual: bool = True):
-        self.omega_raman = omega_raman
-        self.scattering_rate = scattering_rate
+                 rz_is_virtual: bool = True,
+                 calibration: Optional[CalibrationRecord] = None):
+        """calibration: an engine-driven raman_1q record
+        (gate/raman_gate.py). When present, the drive Rabi frequency,
+        the per-time error rate, and the X/Y/Z error COMPOSITION all
+        come from the Lindblad-engine channel instead of the analytic
+        defaults (errors scale linearly with pulse duration from the
+        record's theta — exact for rate-dominated errors)."""
+        self.calibration = calibration
+        if calibration is not None:
+            pars = calibration.parameters
+            self.omega_raman = pars.get("Omega_R", omega_raman)
+            infid = calibration.error_rates["avg_gate_infidelity"]
+            # depolarizing-equivalent rate such that p_err * 1/2 (the
+            # avg-fidelity factor below) reproduces the record at its
+            # own duration
+            self.scattering_rate = 2.0 * infid / max(
+                calibration.duration, 1e-30)
+            p = np.asarray(calibration.pauli_error_probs[1:], dtype=float)
+            self._pauli_shape = p / max(p.sum(), 1e-30)
+        else:
+            self.omega_raman = omega_raman
+            self.scattering_rate = scattering_rate
+            self._pauli_shape = None
         self.rz_is_virtual = rz_is_virtual
 
     def __call__(self, qubit_id: int = 0, gate_type: str = "x",
@@ -96,7 +117,12 @@ class SingleQubitGate(GatePrimitive):
             duration = eff_angle / self.omega_raman
             p_err = min(1.0, self.scattering_rate * duration)
 
-        probs = depolarizing_probs(p_err, 1)
+        if self._pauli_shape is not None and p_err > 0:
+            # calibrated X/Y/Z composition from the engine channel
+            probs = np.concatenate([[1.0 - p_err],
+                                    p_err * self._pauli_shape])
+        else:
+            probs = depolarizing_probs(p_err, 1)
         error_map = pauli_channel_superop(probs, 1) @ unitary_superop(U)
         fidelity = 1.0 - p_err * 0.5  # avg fidelity of depol(p) on d=2
         return GateResult(duration=duration, fidelity=fidelity,

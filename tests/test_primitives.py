@@ -229,3 +229,75 @@ class TestIonBackend:
         assert any(op.name == "ms" for op in compiled.ops)
         res = execute(compiled, backend=ion, shots=2000, seed=3)
         assert 0.0 < res.p_any_error < 0.2
+
+
+class TestRamanGate:
+    """Engine-driven Raman 1Q gate (gate/raman_gate.py; reference stub
+    spec: micro_physics/neutral_atoms/single_qubit_gates.py:1-25)."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        from noisyquantumsimulator_tpu.gate.raman_gate import (
+            simulate_raman_gate)
+        return simulate_raman_gate(theta=np.pi / 2)
+
+    def test_high_fidelity_scattering_dominated(self, result):
+        assert result.fidelity > 0.9999
+        b = result.error_budget
+        assert b["scattering"] > 5 * b["model_floor"]
+        assert result.completely_positive
+
+    def test_duration_is_rabi_calibrated(self, result):
+        # tau ~ theta / Omega_R within the non-adiabatic correction
+        par = result.parameters
+        tau0 = par["theta"] / par["Omega_R"]
+        assert abs(result.duration / tau0 - 1.0) < 0.05
+
+    def test_scattering_error_scales_inverse_delta(self):
+        from noisyquantumsimulator_tpu.gate.raman_gate import (
+            simulate_raman_gate)
+        from noisyquantumsimulator_tpu.core.constants import TWO_PI
+        r1 = simulate_raman_gate(theta=np.pi / 2, Delta=TWO_PI * 100e9)
+        r2 = simulate_raman_gate(theta=np.pi / 2, Delta=TWO_PI * 200e9)
+        ratio = (1 - r1.fidelity) / (1 - r2.fidelity)
+        assert 1.7 < ratio < 2.6          # p_sc ~ Gamma theta / Delta
+        assert r2.duration == pytest.approx(2 * r1.duration, rel=1e-3)
+
+    def test_dephasing_budget_isolated(self):
+        from noisyquantumsimulator_tpu.gate.raman_gate import (
+            simulate_raman_gate)
+        r = simulate_raman_gate(theta=np.pi / 2, gamma_phi=1e3)
+        b = r.error_budget
+        assert b["dephasing"] > 0
+        # gamma_phi * tau / 2-class magnitude
+        expected = 1e3 * r.duration / 2
+        assert 0.2 * expected < b["dephasing"] < 5 * expected
+
+    def test_detuning_error_rotates_axis(self):
+        from noisyquantumsimulator_tpu.gate.raman_gate import (
+            simulate_raman_gate)
+        from noisyquantumsimulator_tpu.core.constants import TWO_PI
+        r = simulate_raman_gate(theta=np.pi / 2,
+                                delta2_error=TWO_PI * 50e3)
+        assert r.error_budget["detuning_error"] > 1e-4
+
+    def test_record_roundtrip_and_consumption(self, result, tmp_path):
+        from noisyquantumsimulator_tpu.gate.raman_gate import (
+            raman_calibration_record)
+        from noisyquantumsimulator_tpu.channels.calibration import (
+            CalibrationStore)
+        from noisyquantumsimulator_tpu.primitives.gates import (
+            SingleQubitGate)
+        rec = raman_calibration_record(result, "test_regime")
+        store = CalibrationStore(root=str(tmp_path))
+        store.save(rec)
+        rec2 = store.load("neutral_atoms", "raman_1q", "test_regime")
+        sq = SingleQubitGate(calibration=rec2)
+        g = sq(0, "rx", angle=np.pi / 2)
+        # the primitive must reproduce the record's infidelity at the
+        # record's own angle
+        assert 1.0 - g.fidelity == pytest.approx(
+            rec2.error_rates["avg_gate_infidelity"], rel=0.05)
+        assert g.duration == pytest.approx(rec2.duration, rel=0.05)
+        # calibrated X/Y/Z composition, not uniform depolarizing
+        assert g.pauli_error_probs.shape == (4,)
