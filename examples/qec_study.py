@@ -85,6 +85,11 @@ def shot_budget(d: int, p: float, quick: bool) -> int:
     # p_L/shot is ~1e-5-class)
     if p <= 1.1e-3:
         return (1 << 20) if d == 9 else (3 << 20)
+    if d >= 13 and p > 2.2e-3:
+        # above/near threshold p_L is large (>= 1e-2-class): 2^19 shots
+        # already give >= ~5k errors, and the host-exact decode of dense
+        # d=13 syndromes is the cost driver (rc=124 in the first run)
+        return 1 << 19
     return 1 << 19 if d <= 11 else 1 << 20
 
 
@@ -122,6 +127,58 @@ def main():
             table[(int(dd), float(pp))] = v
             shots_used[(int(dd), float(pp))] = prev.get("shots", {}).get(
                 key, 0)
+    def recompute_and_write():
+        """Lambda/teraquop from the current (merged) table + JSON write.
+        Called after EVERY cell: a timeout mid-run (first d=13 attempt
+        died at rc=124 with zero cells persisted) keeps every finished
+        measurement."""
+        # Lambda at each p: suppression per distance step of 2. Steps
+        # whose larger-d cell measured ZERO errors are excluded from the
+        # mean (shot-budget artifact, not a suppression factor). Lambda
+        # spans the UNION of p columns in the merged table — a --ds
+        # extension run must not drop the previous artifact's p columns.
+        lambdas = {}
+        lambda_steps = {}
+        all_ds = sorted({d for d, _ in table})
+        all_ps = sorted({p for _, p in table})
+        for p in all_ps:
+            col = [d for d in all_ds if (d, p) in table]
+            ratios = [table[(col[i], p)]
+                      / max(table[(col[i + 1], p)], 1e-12)
+                      for i in range(len(col) - 1)]
+            ok = [r for i, r in enumerate(ratios)
+                  if table[(col[i + 1], p)] > 0]
+            lambdas[p] = float(np.mean(ok)) if ok else float("nan")
+            lambda_steps[p] = ratios
+
+        p_op = 1e-3
+        nonzero = [d for d, pp in table if pp == p_op
+                   and table[(d, pp)] > 0]
+        if nonzero:
+            d_max = max(nonzero)
+            tq = teraquop_footprint(table[(d_max, p_op)], d_max)
+        else:
+            d_max, tq = None, None
+
+        out = {
+            "table": {f"d{d}_p{p}": v for (d, p), v in table.items()},
+            "shots": {f"d{d}_p{p}": v
+                      for (d, p), v in shots_used.items()},
+            "lambda": {str(p): v for p, v in lambdas.items()},
+            "lambda_per_step": {str(p): v
+                                for p, v in lambda_steps.items()},
+            "teraquop_d": tq,
+            "teraquop_anchored_at_d": d_max,
+            "decoder": "native exact cluster decomposition (true MWPM; "
+                       "uf_decoder.cpp mode=0)",
+        }
+        from noisyquantumsimulator_tpu.utils.observability import \
+            provenance_stamp
+        out.update(provenance_stamp())
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        return lambdas, lambda_steps, tq, d_max
+
     for d in ds:
         for p in ps:
             shots = shot_budget(d, p, quick)
@@ -131,57 +188,17 @@ def main():
             print(f"d={d} p={p:.0e}: p_L/round={plr:.3e} "
                   f"p_L/shot={pls:.3e} ({sd} shots, native exact cluster "
                   "decode)", flush=True)
+            recompute_and_write()
 
-    # Lambda at each p: suppression per distance step of 2. Steps whose
-    # larger-d cell measured ZERO errors are excluded from the mean (the
-    # ratio there is a shot-budget artifact, not a suppression factor).
-    lambdas = {}
-    lambda_steps = {}
-    all_ds = sorted({d for d, _ in table})
-    # recompute lambda over the UNION of p columns in the (possibly
-    # merged) table, not just this run's ps — a --ds extension run must
-    # not silently drop the previous artifact's p columns on rewrite
-    all_ps = sorted({p for _, p in table})
-    for p in all_ps:
-        col = [d for d in all_ds if (d, p) in table]
-        ratios = [table[(col[i], p)] / max(table[(col[i + 1], p)], 1e-12)
-                  for i in range(len(col) - 1)]
-        ok = [r for i, r in enumerate(ratios)
-              if table[(col[i + 1], p)] > 0]
-        lambdas[p] = float(np.mean(ok)) if ok else float("nan")
-        lambda_steps[p] = ratios
+    lambdas, lambda_steps, tq, d_max = recompute_and_write()
+    for p in sorted(lambdas):
         print(f"p={p:.0e}: Lambda = {lambdas[p]:.2f} "
-              f"(per-step: {[f'{r:.1f}' for r in ratios]})")
-
-    p_op = 1e-3
-    nonzero_ds = [d for d, pp in table if pp == p_op and table[(d, pp)] > 0]
-    if nonzero_ds:
-        d_max = max(nonzero_ds)
-        tq = teraquop_footprint(table[(d_max, p_op)], d_max)
-        print(f"teraquop distance estimate at p={p_op:.0e}: d = {tq} "
+              f"(per-step: {[f'{r:.1f}' for r in lambda_steps[p]]})")
+    if tq is not None:
+        print(f"teraquop distance estimate at p=1e-03: d = {tq} "
               f"(anchored at measured d={d_max})")
     else:
-        # no nonzero cell at the operating p (e.g. a --ds run whose merged
-        # table lacks p=1e-3): still write the measured table
-        d_max, tq = None, None
-        print(f"teraquop estimate skipped: no nonzero p_L cell at "
-              f"p={p_op:.0e}")
-
-    out = {
-        "table": {f"d{d}_p{p}": v for (d, p), v in table.items()},
-        "shots": {f"d{d}_p{p}": v for (d, p), v in shots_used.items()},
-        "lambda": {str(p): v for p, v in lambdas.items()},
-        "lambda_per_step": {str(p): v for p, v in lambda_steps.items()},
-        "teraquop_d": tq,
-        "decoder": "native exact cluster decomposition (true MWPM; "
-                   "uf_decoder.cpp mode=0)",
-    }
-    from noisyquantumsimulator_tpu.utils.observability import \
-        provenance_stamp
-    out.update(provenance_stamp())
-    path = os.path.join(HERE, "qec_study.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        print("teraquop estimate skipped: no nonzero p_L cell at p=1e-03")
     print(f"wrote {path}")
 
     try:

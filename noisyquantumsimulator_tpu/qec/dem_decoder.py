@@ -140,21 +140,24 @@ class DemBPDecoder:
                 f"{n_bits} observable bits exceed the int32 bitmask this "
                 "decoder packs predictions into; split the observables")
         obs_cols = np.stack([(obs >> b) & 1 for b in range(n_bits)],
-                            axis=1).astype(np.int32)           # (n_var, B)
-        Ht = jnp.asarray(H.T.astype(np.int32))                 # (n_var, n_det)
+                            axis=1).astype(np.int8)            # (n_var, B)
+        # int8 operands: the MXU has a native s8 x s8 -> s32 path (the
+        # fast sampler's trick); H/est entries are 0/1 and the row sums
+        # (<= n_var ~ 2e3) fit s32 exactly, so the parity is unchanged
+        Ht = jnp.asarray(H.T.astype(np.int8))                  # (n_var, n_det)
         obs_cols_j = jnp.asarray(obs_cols)
         # int32 weights: jax without x64 truncates int64 anyway and the
         # observable count never approaches 31 bits
         bit_w = jnp.asarray((1 << np.arange(n_bits)).astype(np.int32))
 
         def score(est, dets_f):
-            est32 = est.astype(jnp.int32)
+            est8 = est.astype(jnp.int8)
             synd = jax.lax.dot_general(
-                est32, Ht, (((1,), (0,)), ((), ())),
+                est8, Ht, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32) & 1
             bad = jnp.any(synd != dets_f.astype(jnp.int32), axis=1)
             ob = jax.lax.dot_general(
-                est32, obs_cols_j, (((1,), (0,)), ((), ())),
+                est8, obs_cols_j, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32) & 1
             pred = jnp.sum(ob.astype(bit_w.dtype) * bit_w[None, :],
                            axis=1)
