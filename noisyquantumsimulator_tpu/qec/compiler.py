@@ -19,6 +19,11 @@ from .topology import Topology
 NATIVE_SETS = {
     "neutral_atoms": {"rz", "rxy", "cz"},
     "trapped_ions": {"rz", "rxy", "ms"},
+    # the cavity entangler is a photon-exchange (SWAP x CZ-class) gate;
+    # CavityBackend derives cz exactly via a free software relabel +
+    # virtual ZZ (primitives/cavity_backend.py), so "cz" is compiler-
+    # native for this platform
+    "cavity_qed": {"rz", "rxy", "cz"},
 }
 
 

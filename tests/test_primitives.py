@@ -301,3 +301,105 @@ class TestRamanGate:
         assert g.duration == pytest.approx(rec2.duration, rel=0.05)
         # calibrated X/Y/Z composition, not uniform depolarizing
         assert g.pauli_error_probs.shape == (4,)
+
+
+class TestCavityBackend:
+    """Layer-1 cavity-QED primitives consuming the round-4 photon-
+    exchange Lindblad calibration (reference: docs/ARCHITECTURE.md:171-178
+    maps TwoQubitGate -> cavity-mediated; micro_physics/cavity_qed specs).
+    Platform #3 next to NeutralAtomBackend and IonBackend."""
+
+    @pytest.fixture(scope="class")
+    def cav(self):
+        from noisyquantumsimulator_tpu.primitives.cavity_backend import (
+            CavityBackend)
+        return CavityBackend()
+
+    def test_cz_decomposition_exact(self):
+        """(Z x Z) . SWAP . U_x(phi_ee=-pi) = CZ exactly — the relabel +
+        virtual-ZZ derivation is algebraically closed when the exchange
+        loop phase hits -pi."""
+        from noisyquantumsimulator_tpu.gate.cavity_gate import (
+            _ideal_exchange_unitary)
+        from noisyquantumsimulator_tpu.primitives.cavity_backend import (
+            _SWAP, _ZZ, CZ_MATRIX)
+        U = _ZZ @ _SWAP @ _ideal_exchange_unitary(-np.pi)
+        assert np.allclose(U, CZ_MATRIX, atol=1e-12)
+
+    def test_loads_disk_calibration(self, cav):
+        rec = cav.exchange_calibration
+        assert rec.platform == "cavity_qed"
+        assert rec.operation == "exchange_gate"
+        assert rec.superop is not None
+
+    def test_exchange_gate_result(self, cav):
+        xc = cav.exchange()
+        assert 0.95 < xc.fidelity < 1.0
+        assert xc.pauli_error_probs.shape == (16,)
+        assert np.isclose(xc.pauli_error_probs.sum(), 1.0, atol=1e-6)
+        cp, tp = is_cptp(xc.error_map)
+        assert cp and tp
+
+    def test_derived_cz_channel(self, cav):
+        """The derived CZ must cost only the irreducible residual
+        CPHASE(delta) on top of the native exchange infidelity (relabel
+        and ZZ are exact/free), and its channel must map |++> near
+        CZ|++> (a state the SWAP-free part cannot fake)."""
+        from noisyquantumsimulator_tpu.primitives.cavity_backend import (
+            CZ_MATRIX)
+        xc, cz = cav.exchange(), cav.cz()
+        delta = cav.two_qubit.residual_cphase
+        assert abs(delta) < 0.2                     # closure nearly -pi
+        # residual coherent ZZ-rotation costs O(delta^2) extra
+        assert cz.fidelity <= xc.fidelity + 1e-9
+        assert xc.fidelity - cz.fidelity < max(delta ** 2, 1e-4)
+        cp, tp = is_cptp(cz.error_map)
+        assert cp and tp
+        psi = np.ones(4, dtype=complex) / 2
+        rho = np.outer(psi, psi.conj())
+        out = (cz.error_map @ rho.reshape(-1)).reshape(4, 4)
+        tgt = CZ_MATRIX @ rho @ CZ_MATRIX.conj().T
+        assert float(np.real(np.trace(out @ tgt))) > 0.9
+
+    def test_cx_derived(self, cav):
+        cx = cav.two_qubit(0, 1, "cx")
+        assert cx.duration > cav.cz().duration      # physical H wrappers
+        assert 0.9 < cx.fidelity < 1.0
+        assert np.isclose(np.sum(cx.pauli_error_probs), 1.0, atol=1e-6)
+
+    def test_readout_tradeoff(self, cav):
+        """Longer integration kills shot noise but pays T1: the error is
+        non-monotonic in duration with an interior optimum."""
+        from noisyquantumsimulator_tpu.primitives.cavity_backend import (
+            cavity_readout_error)
+        kw = dict(cooperativity=1e5, kappa_readout=2 * np.pi * 5e6,
+                  eta=0.5, n_bar=5.0, T1=100e-6)
+        p_short = cavity_readout_error(duration=1e-8, **kw)
+        p_mid = cavity_readout_error(duration=1e-6, **kw)
+        p_long = cavity_readout_error(duration=300e-6, **kw)
+        assert p_mid < p_short and p_mid < p_long
+        assert cav.measure().fidelity > 0.99
+
+    def test_regimes_ranked_by_engine(self, cav):
+        """The circuit-QED regime (C=5e6) must out-price the fiber-cavity
+        regime (C=3e4) — the L0 engine's regime ranking must survive into
+        the Layer-1 channel."""
+        from noisyquantumsimulator_tpu.primitives.cavity_backend import (
+            CavityBackend)
+        fiber = CavityBackend(regime="rb_fiber_cavity")
+        assert cav.cz().fidelity > fiber.cz().fidelity
+        assert fiber.cz().duration > cav.cz().duration
+
+    def test_executor_duck_type(self, cav):
+        """qec/executor.py prices circuits through backend.cz()/rx()/
+        measure()/T1/T2 — the cavity backend must satisfy the interface."""
+        from noisyquantumsimulator_tpu.qec.compiler import (Gate,
+                                                            compile_circuit)
+        from noisyquantumsimulator_tpu.qec.executor import execute
+        from noisyquantumsimulator_tpu.qec.topology import grid_topology
+        gates = [Gate("h", (0,)), Gate("cx", (0, 1))]
+        compiled = compile_circuit(gates, grid_topology(1, 2),
+                                   platform="cavity_qed")
+        assert any(op.name == "cz" for op in compiled.ops)
+        res = execute(compiled, backend=cav, shots=2000, seed=3)
+        assert 0.0 < res.p_any_error < 0.2
