@@ -101,6 +101,42 @@ def main():
         print(f"{name:>22s}: {t*1e3:8.2f} ms "
               f"({B / t:,.0f} sims/s)", flush=True)
 
+    # VMEM-resident Pallas scan (solver/scan_pallas.py): probe, then
+    # time at several block sizes and check parity vs the XLA scan
+    from noisyquantumsimulator_tpu.solver.real_rep import (
+        evolve_real_phased_many)
+    from noisyquantumsimulator_tpu.solver.scan_pallas import (
+        evolve_real_phased_many_pallas, scan_pallas_available)
+    t = timeit(partial(evolve_real_phased_many, D=D, P=P),
+               U, cq, phases, x0)
+    res["t_production_full_s"] = t
+    print(f"{'production_full':>22s}: {t*1e3:8.2f} ms "
+          f"({B / t:,.0f} sims/s)", flush=True)
+    if scan_pallas_available():
+        ref = evolve_real_phased_many(U, cq, phases, x0, D, P)
+        for blk in (512, 1024, 2048, 4096):
+            fn = partial(evolve_real_phased_many_pallas, block_rows=blk)
+
+            @jax.jit
+            def run(U, cq, ph, x0, fn=fn):
+                return fn(U, cq, ph, x0, D=D, P=P)
+
+            try:
+                out = run(U, cq, phases, x0)
+                err = float(jnp.max(jnp.abs(
+                    out - jnp.asarray(ref).reshape(out.shape))))
+                t = timeit(run, U, cq, phases, x0)
+                res[f"t_pallas_blk{blk}_s"] = t
+                res[f"pallas_blk{blk}_max_abs_diff"] = err
+                print(f"{'pallas_blk' + str(blk):>22s}: {t*1e3:8.2f} ms "
+                      f"({B / t:,.0f} sims/s, diff {err:.1e})", flush=True)
+            except Exception as e:  # noqa: BLE001 — record, keep probing
+                res[f"pallas_blk{blk}_error"] = repr(e)[:300]
+                print(f"pallas blk={blk} FAILED: {e!r}", flush=True)
+    else:
+        res["pallas"] = "unavailable (probe failed)"
+        print("pallas scan kernel unavailable on this backend", flush=True)
+
     from noisyquantumsimulator_tpu.utils.observability import provenance_stamp
     res.update(provenance_stamp())
     with open(os.path.join(HERE, "profile_gate_scan.json"), "w") as f:

@@ -524,3 +524,52 @@ class TestRealRepEngine:
                 one = evolve_real_phased(U_real, jnp.asarray(rep.cq),
                                          s * phases, x0, 9, rep.P)
                 assert float(jnp.max(jnp.abs(many[i] - one))) < 1e-13
+
+
+class TestScanPallas:
+    """VMEM-resident Pallas scan kernel (solver/scan_pallas.py) vs the
+    XLA scan (VERDICT r4 #7: the gate engine's Pallas path). Interpret
+    mode on CPU; the on-chip compile is covered by the runtime probe +
+    examples/profile_gate_scan.py."""
+
+    def _shapes(self, D, P, B, S, n_seg, seed=3):
+        rng = np.random.default_rng(seed)
+        n = D + 2 * P
+        A = rng.standard_normal((n, n))
+        Q, _ = np.linalg.qr(A)               # orthogonal: 300-step stable
+        U = jnp.asarray(Q.astype(np.float32))
+        cq = jnp.asarray(rng.integers(1, 5, P).astype(np.float32))
+        ph = jnp.asarray(rng.standard_normal((B, n_seg)).astype(np.float32))
+        x0 = jnp.asarray(rng.standard_normal((S, n)).astype(np.float32))
+        return U, cq, ph, x0
+
+    @pytest.mark.parametrize("D,P,B,S,n_seg,blk", [
+        (9, 36, 16, 4, 12, 16),      # production layout, short scan
+        (2, 3, 8, 1, 5, 8),          # probe shape
+        (9, 36, 8, 4, 60, 16),       # deeper scan, two grid blocks
+    ])
+    def test_parity_vs_xla_scan(self, D, P, B, S, n_seg, blk):
+        from noisyquantumsimulator_tpu.solver.real_rep import (
+            evolve_real_phased_many)
+        from noisyquantumsimulator_tpu.solver.scan_pallas import (
+            evolve_real_phased_many_pallas)
+        U, cq, ph, x0 = self._shapes(D, P, B, S, n_seg)
+        ref = evolve_real_phased_many(U, cq, ph, x0, D, P)
+        out = evolve_real_phased_many_pallas(U, cq, ph, x0, D, P,
+                                             block_rows=blk,
+                                             interpret=True)
+        err = float(jnp.max(jnp.abs(ref - out)))
+        assert err < 5e-4, err
+
+    def test_rotation_roll_formulation_exact(self):
+        """The roll+mask rotation must match _rotate exactly (same ops,
+        different data movement): zero tolerance on one applied step."""
+        from noisyquantumsimulator_tpu.solver.real_rep import (
+            evolve_real_phased_many)
+        from noisyquantumsimulator_tpu.solver.scan_pallas import (
+            evolve_real_phased_many_pallas)
+        U, cq, ph, x0 = self._shapes(9, 36, 4, 2, 1, seed=11)
+        ref = evolve_real_phased_many(U, cq, ph, x0, 9, 36)
+        out = evolve_real_phased_many_pallas(U, cq, ph, x0, 9, 36,
+                                             block_rows=8, interpret=True)
+        assert float(jnp.max(jnp.abs(ref - out))) == 0.0
