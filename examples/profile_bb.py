@@ -21,13 +21,18 @@ sys.path.insert(0, os.path.dirname(HERE))
 
 
 def timeit(fn, *args, reps=5):
+    # host-fetch fence: block_until_ready lies on the axon tunnel (see
+    # bench.py gate workload) — a scalar fetch fences the in-order queue
     import jax
+    import jax.numpy as jnp
     out = fn(*args)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))          # warm-up fence
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
     return (time.perf_counter() - t0) / reps
 
 

@@ -33,6 +33,10 @@ class NeutralAtomBackend:
     cz_regime: str = "n70_smooth_jp_default"
     raman_calibration: Optional[CalibrationRecord] = None
     raman_regime: str = "rb87_pi2_default"
+    readout_calibration: Optional[CalibrationRecord] = None
+    readout_regime: str = "rb87_highna_2ms"
+    cooling_calibration: Optional[CalibrationRecord] = None
+    cooling_regime: str = "rb87_rsc_100khz"
     T1: float = 4.0
     T2: float = 1.0
 
@@ -79,10 +83,52 @@ class NeutralAtomBackend:
         self.move = Move(species=self.species,
                          trap_frequency=self.trap_frequency,
                          trap_depth_K=self.trap_depth_K)
+
+        # engine-driven sideband-cooling calibration (gate/cooling.py:
+        # exact Fock-ladder master equation); load-else-generate like
+        # the readout record above
+        if self.cooling_calibration is None:
+            from ..gate.cooling import (cooling_calibration_record,
+                                        simulate_sideband_cooling)
+            store = self.calibration_store or CalibrationStore()
+            try:
+                self.cooling_calibration = store.load(
+                    "neutral_atoms", "cooling", self.cooling_regime)
+            except FileNotFoundError:
+                res = simulate_sideband_cooling(
+                    omega_trap=self.trap_frequency)
+                self.cooling_calibration = cooling_calibration_record(
+                    res, self.cooling_regime)
+                if self.calibration_store is not None:
+                    self.calibration_store.save(self.cooling_calibration)
         self.cool = Cool(species=self.species,
-                         trap_frequency=self.trap_frequency)
+                         trap_frequency=self.trap_frequency,
+                         calibration=self.cooling_calibration)
         self.idle = Idle(T1=self.T1, T2=self.T2)
-        self.measure = Measure()
+
+        # engine-driven readout calibration (gate/readout.py: exact
+        # counting-master-equation confusion matrix): load from the
+        # store, else generate in-process (one ~500-dim expm, ~0.1 s)
+        if self.readout_calibration is None:
+            from ..gate.readout import (readout_calibration_record,
+                                        simulate_fluorescence_readout)
+            store = self.calibration_store or CalibrationStore()
+            try:
+                self.readout_calibration = store.load(
+                    "neutral_atoms", "readout", self.readout_regime)
+            except FileNotFoundError:
+                res = simulate_fluorescence_readout()
+                self.readout_calibration = readout_calibration_record(
+                    res, self.readout_regime)
+                if self.calibration_store is not None:
+                    self.calibration_store.save(self.readout_calibration)
+        rrec = self.readout_calibration
+        cm = np.asarray(rrec.metadata["confusion_matrix"], dtype=float)
+        self.measure = Measure(
+            fidelity_0=float(cm[0, 0]), fidelity_1=float(cm[1, 1]),
+            duration=rrec.duration,
+            loss_probability=rrec.error_rates.get("loss_bright", 0.0),
+            destructive=False)
 
     # convenience one-liners
     def cz(self, q1: int = 0, q2: int = 1) -> GateResult:

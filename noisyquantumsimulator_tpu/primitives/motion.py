@@ -117,11 +117,18 @@ class Cool(CoolPrimitive):
 
     def __init__(self, species: str = "Rb87",
                  trap_frequency: float = TWO_PI * 100e3,
-                 linewidth: Optional[float] = None):
+                 linewidth: Optional[float] = None,
+                 calibration=None):
+        """calibration: an engine-driven sideband-cooling record
+        (gate/cooling.py — exact Fock-ladder master equation). When
+        present, method="sideband" returns the record's dynamics-derived
+        duration / final nbar / ground-state fraction / loss instead of
+        the METHODS table constants."""
         self.sp = get_species(species)
         self.omega = trap_frequency
         self.Gamma = linewidth or self.sp.intermediate_states[
             self.sp.default_intermediate].linewidth
+        self.calibration = calibration
 
     def _floor(self, kind: str) -> float:
         if kind == "doppler":
@@ -137,6 +144,18 @@ class Cool(CoolPrimitive):
         if method not in self.METHODS:
             raise ValueError(f"Unknown cooling method: {method}. "
                              f"Available: {list(self.METHODS)}")
+        if method == "sideband" and self.calibration is not None:
+            rec = self.calibration
+            return CoolResult(
+                duration=rec.duration,
+                loss_probability=rec.error_rates["loss"],
+                final_temperature=rec.metadata["final_temperature_K"],
+                final_nbar=rec.error_rates["final_nbar"],
+                success_probability=1.0
+                - rec.error_rates["avg_gate_infidelity"],
+                metadata={"method": "sideband",
+                          "engine": rec.metadata.get("generator"),
+                          "regime": rec.regime, "qubit": qubit_id})
         kind, dur, succ, loss = self.METHODS[method]
         floor = self._floor(kind)
         T_final = max(floor, target_temperature or 0.0)

@@ -403,3 +403,170 @@ class TestCavityBackend:
         assert any(op.name == "cz" for op in compiled.ops)
         res = execute(compiled, backend=cav, shots=2000, seed=3)
         assert 0.0 < res.p_any_error < 0.2
+
+
+class TestFluorescenceReadout:
+    """Engine-driven readout (gate/readout.py): the counting master
+    equation solved exactly (reference spec:
+    micro_physics/neutral_atoms/measurement.py:11-25)."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        from noisyquantumsimulator_tpu.gate.readout import (
+            simulate_fluorescence_readout)
+        return simulate_fluorescence_readout()
+
+    def test_confusion_rows_normalized(self, result):
+        assert np.allclose(result.confusion_matrix.sum(axis=1), 1.0,
+                           atol=1e-9)
+        assert result.fidelity > 0.99
+        assert 0 < result.threshold < result.mean_counts_bright
+
+    def test_poisson_limit_exact(self):
+        """With every jump mechanism off, the engine must reproduce the
+        analytic Poisson count distribution to numerical precision —
+        the oracle check that the generator + expm are right."""
+        from scipy.stats import poisson
+        from noisyquantumsimulator_tpu.gate.readout import (
+            simulate_fluorescence_readout)
+        r = simulate_fluorescence_readout(
+            duration=1e-3, eta=0.05, background_rate=0.0,
+            delta_hf_excited=1e30, delta_hf_ground=1e30,
+            recoil_energy_over_trap=0.0)
+        lam = r.parameters["eta"] * r.parameters["R_sc"] * r.duration
+        pn = r.count_distributions["bright"]
+        ref = poisson.pmf(np.arange(len(pn)), lam)
+        assert float(np.max(np.abs(pn - ref))) < 1e-8
+        # dark state with no background and no repump: exactly 0 counts
+        assert r.count_distributions["dark"][0] == pytest.approx(1.0,
+                                                                 abs=1e-12)
+
+    def test_late_depump_does_not_misread(self):
+        """The engine's headline over closed-form models: the in-window
+        depump PROBABILITY is ~6%, but only depumps that happen before
+        the threshold count is reached misread — the false-negative
+        rate must come out far below the depump probability."""
+        from noisyquantumsimulator_tpu.gate.readout import (
+            simulate_fluorescence_readout)
+        r = simulate_fluorescence_readout()
+        p_depump_window = r.error_budget["depump_bright_to_dark"]
+        assert p_depump_window > 0.02          # the naive model's error
+        assert r.false_negative < p_depump_window / 5.0
+
+    def test_background_raises_false_positive(self):
+        from noisyquantumsimulator_tpu.gate.readout import (
+            simulate_fluorescence_readout)
+        lo = simulate_fluorescence_readout(background_rate=10.0)
+        hi = simulate_fluorescence_readout(background_rate=3000.0)
+        assert hi.false_positive > lo.false_positive
+
+    def test_loss_scales_with_scattering(self):
+        from noisyquantumsimulator_tpu.gate.readout import (
+            simulate_fluorescence_readout)
+        shallow = simulate_fluorescence_readout(
+            recoil_energy_over_trap=2.4e-5)
+        deep = simulate_fluorescence_readout(
+            recoil_energy_over_trap=2.4e-7)
+        assert shallow.loss_probability_bright > \
+            deep.loss_probability_bright * 10
+
+    def test_record_roundtrip_and_backend_consumption(self, result,
+                                                      tmp_path):
+        from noisyquantumsimulator_tpu.gate.readout import (
+            readout_calibration_record)
+        from noisyquantumsimulator_tpu.channels.calibration import (
+            CalibrationStore)
+        rec = readout_calibration_record(result, "test_regime")
+        store = CalibrationStore(root=str(tmp_path))
+        store.save(rec)
+        rec2 = store.load("neutral_atoms", "readout", "test_regime")
+        cm = np.asarray(rec2.metadata["confusion_matrix"])
+        assert np.allclose(cm, result.confusion_matrix, atol=1e-12)
+        b = NeutralAtomBackend(readout_calibration=rec2)
+        assert b.measure().fidelity == pytest.approx(
+            0.5 * (cm[0, 0] + cm[1, 1]), abs=0.51 * abs(cm[0, 0]
+                                                        - cm[1, 1]) + 1e-9)
+        assert b.measure().duration == rec2.duration
+
+    def test_shipped_calibration_loads(self):
+        """The repo ships the generated record; the default backend must
+        consume it rather than regenerate."""
+        b = NeutralAtomBackend()
+        assert b.readout_calibration.regime == "rb87_highna_2ms"
+        assert b.readout_calibration.metadata["generator"] == \
+            "noisyquantumsimulator_tpu.gate.readout"
+
+
+class TestSidebandCooling:
+    """Engine-driven cooling (gate/cooling.py): exact Fock-ladder master
+    equation (reference spec: micro_physics/neutral_atoms/cooling.py)."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        from noisyquantumsimulator_tpu.gate.cooling import (
+            simulate_sideband_cooling)
+        return simulate_sideband_cooling()
+
+    def test_mean_matches_exact_ode(self, result):
+        """For the linear birth-death ladder the mean obeys
+        dn/dt = -(A- - A+) n + (A+ + R) EXACTLY — an independent oracle
+        for the generator + expm (matches to ~1e-12)."""
+        p = result.parameters
+        rate = p["a_minus"] - p["a_plus"]
+        nss = (p["a_plus"] + p["r_trap_heating"]) / rate
+        pred = nss + (p["nbar0"] - nss) * np.exp(-rate * result.duration)
+        assert result.final_nbar == pytest.approx(pred, rel=1e-9)
+
+    def test_ground_state_and_floor(self, result):
+        assert result.ground_state_fraction > 0.98
+        assert result.final_nbar >= result.nbar_ss - 1e-12
+        assert result.error_budget["truncation_tail"] < 1e-10
+
+    def test_time_tradeoff(self):
+        """Shorter windows leave transient excess; the spec's
+        'cooling time vs final temperature tradeoff'."""
+        from noisyquantumsimulator_tpu.gate.cooling import (
+            simulate_sideband_cooling)
+        short = simulate_sideband_cooling(duration=0.1e-3)
+        mid = simulate_sideband_cooling(duration=1e-3)
+        full = simulate_sideband_cooling(duration=10e-3)
+        assert short.final_nbar > mid.final_nbar > full.final_nbar
+        assert full.final_nbar == pytest.approx(full.nbar_ss, rel=0.01)
+
+    def test_sideband_resolution_degrades_floor(self):
+        """nbar_ss scales as (gamma_eff / 4 omega)^2 — losing sideband
+        resolution must raise the floor quadratically."""
+        from noisyquantumsimulator_tpu.gate.cooling import (
+            simulate_sideband_cooling)
+        res = simulate_sideband_cooling(gamma_eff=2 * np.pi * 20e3,
+                                        r_trap_heating=0.0,
+                                        duration=50e-3)
+        bad = simulate_sideband_cooling(gamma_eff=2 * np.pi * 80e3,
+                                        r_trap_heating=0.0,
+                                        duration=50e-3)
+        assert bad.nbar_ss / res.nbar_ss == pytest.approx(16.0, rel=0.3)
+
+    def test_record_and_primitive_consumption(self, result, tmp_path):
+        from noisyquantumsimulator_tpu.gate.cooling import (
+            cooling_calibration_record)
+        from noisyquantumsimulator_tpu.channels.calibration import (
+            CalibrationStore)
+        from noisyquantumsimulator_tpu.primitives.motion import Cool
+        rec = cooling_calibration_record(result, "test_regime")
+        store = CalibrationStore(root=str(tmp_path))
+        store.save(rec)
+        rec2 = store.load("neutral_atoms", "cooling", "test_regime")
+        cool = Cool(calibration=rec2)
+        r = cool(method="sideband")
+        assert r.final_nbar == pytest.approx(result.final_nbar, rel=1e-9)
+        assert r.success_probability == pytest.approx(
+            result.ground_state_fraction, rel=1e-9)
+        # uncalibrated methods keep the analytic table
+        assert cool(method="doppler").final_temperature > 0
+
+    def test_backend_ships_engine_cooling(self):
+        b = NeutralAtomBackend()
+        r = b.cool(method="sideband")
+        assert r.metadata["engine"] == \
+            "noisyquantumsimulator_tpu.gate.cooling"
+        assert r.final_nbar < 0.01
