@@ -50,7 +50,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
                    dim: int = 3, prec: str = "highest",
-                   engine: str = "real"):
+                   engine: str = "real", pallas_scan: bool = False):
     import jax
     import jax.numpy as jnp
     from noisyquantumsimulator_tpu.core.configs import SmoothJPSimulationInputs
@@ -112,13 +112,25 @@ def build_workload(batch: int, n_steps: int = 300, dtype="complex64",
                   jnp.asarray(rep.Wi.astype(rdt)),
                   jnp.asarray(rep.cq.astype(rdt)))
 
+        # opt-in VMEM-resident Pallas scan (solver/scan_pallas.py):
+        # probe at build time (outside jit), fall back where Mosaic is
+        # unavailable; off by default pending a measured on-chip win
+        evolve_many = evolve_real_phased_many
+        if pallas_scan:
+            from noisyquantumsimulator_tpu.solver.scan_pallas import (
+                evolve_real_phased_many_pallas, scan_pallas_available)
+            if scan_pallas_available():
+                def evolve_many(U_real, cq, ph, x0, D, P, precision=None):
+                    return evolve_real_phased_many_pallas(
+                        U_real, cq, ph, x0, D, P)
+
         def step_fn(scales, L0, Cp, Cm, rho0s, phases, tables):
             Wr, Wi, cq = tables
             Ub = uniform_base_propagator(L0, Cp, Cm, amp0, dt0,
                                          max_squarings=ms)
             U_real = real_propagator_device(Ub, Wr, Wi)
             x0 = to_real_coords(rho0s, Wr, Wi)
-            out = evolve_real_phased_many(
+            out = evolve_many(
                 U_real, cq, scales[:, None] * phases[None], x0,
                 D, rep.P, precision=precision)
             rhos = from_real_coords(out, Wr, Wi)
@@ -714,12 +726,14 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
 
 
 def main(batch: int = 128, n_steps: int = 300, curve: bool = False,
-         dim: int = 3, prec: str = "highest", engine: str = "real"):
+         dim: int = 3, prec: str = "highest", engine: str = "real",
+         pallas_scan: bool = False):
     import jax
 
     backend = jax.devices()[0].platform
     step, scales, plan = build_workload(batch, n_steps, dim=dim, prec=prec,
-                                        engine=engine)
+                                        engine=engine,
+                                        pallas_scan=pallas_scan)
     sims_per_sec, mean_f = _sims_per_sec(step, scales, batch)
 
     batch_curve = []
@@ -981,7 +995,8 @@ if __name__ == "__main__":
              curve="--curve" in sys.argv,
              dim=4 if dim4 else 3,
              prec=_flag(sys.argv, "--prec", "highest", str),
-             engine=_flag(sys.argv, "--engine", "real", str))
+             engine=_flag(sys.argv, "--engine", "real", str),
+             pallas_scan="--pallas-scan" in sys.argv)
     else:
         # no flags: the time-budgeted canonical suite (fits the driver's
         # capture window); --full runs the deep-statistics budgets
