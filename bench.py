@@ -604,7 +604,7 @@ def main_qec(d: int = 7, rounds: int = 7, p: float = 1e-3,
 
 
 def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
-            fast_iters: int = 8, seed: int = 0, reps: int = 3):
+            fast_iters: int = 6, seed: int = 0, reps: int = 3):
     """Tertiary benchmark (--bb): gross-code [[144,12,12]] circuit-level
     memory, sample + DEM-BP decode + per-observable failure check.
 
@@ -632,9 +632,14 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
     # tier runs damped min-sum (min-sum with memory) — it converges
     # ~10x more of the tail than the plain 60-iter retry, so the host
     # OSD residue and its device->host fetch nearly vanish.
+    # round-5 profile (examples/profile_bb.json): fast BP was 206 ms
+    # of the 278 ms decode and the 2048-row retry 81 ms against a ~37-
+    # shot actual tail — 6 fast iters + a 512-row retry keep the same
+    # exact-checked accuracy path at ~2/3 the device cost
     dec = DemBPDecoder(circuit, n_iters=60, kernel="slots",
                        fast_iters=fast_iters, fast_dtype=jnp.bfloat16,
-                       retry_damping=0.5, retry_iters=90)
+                       retry_damping=0.5, retry_iters=90,
+                       retry_cap_divisor=128)
     bits = jnp.arange(k, dtype=jnp.int32)
     cap = min(shots, max(shots // 64, 32))   # residual-compaction rows
 

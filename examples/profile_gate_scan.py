@@ -122,9 +122,19 @@ def main():
     res["t_production_full_s"] = t
     print(f"{'production_full':>22s}: {t*1e3:8.2f} ms "
           f"({B / t:,.0f} sims/s)", flush=True)
+    def flush():
+        from noisyquantumsimulator_tpu.utils.observability import (
+            provenance_stamp)
+        res.update(provenance_stamp())
+        with open(os.path.join(HERE, "profile_gate_scan.json"), "w") as f:
+            json.dump(res, f, indent=1)
+
+    flush()
     if scan_pallas_available():
         ref = evolve_real_phased_many(U, cq, phases, x0, D, P)
-        for blk in (512, 1024, 2048, 4096):
+        # each block size is a fresh ~15-min Mosaic tunnel compile
+        # (persisted in .jax_cache); two sizes bound the sweep
+        for blk in (1024, 2048):
             fn = partial(evolve_real_phased_many_pallas, block_rows=blk)
 
             @jax.jit
@@ -143,14 +153,12 @@ def main():
             except Exception as e:  # noqa: BLE001 — record, keep probing
                 res[f"pallas_blk{blk}_error"] = repr(e)[:300]
                 print(f"pallas blk={blk} FAILED: {e!r}", flush=True)
+            flush()          # a timeout mid-sweep keeps finished rows
     else:
         res["pallas"] = "unavailable (probe failed)"
         print("pallas scan kernel unavailable on this backend", flush=True)
 
-    from noisyquantumsimulator_tpu.utils.observability import provenance_stamp
-    res.update(provenance_stamp())
-    with open(os.path.join(HERE, "profile_gate_scan.json"), "w") as f:
-        json.dump(res, f, indent=1)
+    flush()
     print("wrote examples/profile_gate_scan.json", flush=True)
 
 

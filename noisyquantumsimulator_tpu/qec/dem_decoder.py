@@ -62,7 +62,8 @@ class DemBPDecoder:
                  fast_iters: int = 0, fast_dtype=jnp.float32,
                  retry_damping: float = 0.5,
                  retry_iters: Optional[int] = None,
-                 fast_impl: str = "auto"):
+                 fast_impl: str = "auto",
+                 retry_cap_divisor: int = 32):
         dem = build_dem(circuit).merged()
         mechs = [m for m in dem.mechanisms if m.probability > min_prob]
         if not mechs:
@@ -171,12 +172,14 @@ class DemBPDecoder:
             est, beliefs = bp_fast(dets_f)
             pred, bad = score(est, dets_f)
             S = dets_f.shape[0]
-            # retry capacity: the fast-BP non-converged tail is ~0.4% at
-            # p=1e-3 (gross code, 8/60 iters), so S//32 keeps ~8x margin;
-            # S//8 made the 60-iter retry cost as much as the whole
-            # 8-iter fast pass (60*S/8 vs 8*S multiplies). Tail shots
-            # beyond the capacity stay flagged and route to OSD.
-            cap = min(S, max(S // 32, 64))
+            # retry capacity: the damped retry's cost is linear in its
+            # row count — the round-5 profile measured 81 ms of a 278 ms
+            # decode going to a 2048-row retry whose actual occupancy
+            # was ~37 shots (0.056% tail at 8 bf16 iters, p=1e-3).
+            # retry_cap_divisor sizes it; tail shots beyond the capacity
+            # stay flagged and route to OSD, so exactness is unaffected
+            # (only throughput, if the tail ever outgrows the cap).
+            cap = min(S, max(S // retry_cap_divisor, 64))
             _, idx = jax.lax.top_k(bad.astype(jnp.int32), cap)
             est2, bel2 = bp_retry(jnp.take(dets_f, idx, axis=0))
             pred2, bad2 = score(est2, jnp.take(dets_f, idx, axis=0))
