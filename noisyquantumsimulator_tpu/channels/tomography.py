@@ -102,10 +102,14 @@ def extract_channel(plan: GatePlan, dtype=None,
     """Extract the two-qubit CPTP channel of a planned gate."""
     if dtype is None:
         dtype = _default_cdtype()
-    U = np.asarray(total_propagator(jnp.asarray(plan.L0, dtype),
-                                    jnp.asarray(plan.Cp, dtype),
-                                    jnp.asarray(plan.Cm, dtype),
-                                    plan.schedule))
+    # plane-safe complex transfers: the tunneled TPU backend cannot
+    # upload/fetch complex arrays directly (utils/transfer)
+    from ..utils.transfer import device_get_complex, device_put_complex
+    U = device_get_complex(total_propagator(
+        device_put_complex(np.asarray(plan.L0), dtype),
+        device_put_complex(np.asarray(plan.Cp), dtype),
+        device_put_complex(np.asarray(plan.Cm), dtype),
+        plan.schedule))
     dim = plan.hilbert_space_dim
     S = _subspace_superop(U, dim)
 

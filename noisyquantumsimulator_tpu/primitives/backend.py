@@ -42,18 +42,18 @@ class NeutralAtomBackend:
 
     def __post_init__(self):
         if self.cz_calibration is None:
-            if self.calibration_store is not None:
-                try:
-                    self.cz_calibration = self.calibration_store.load(
-                        "neutral_atoms", "rydberg_cz", self.cz_regime)
-                except FileNotFoundError:
-                    self.cz_calibration = calibrate_cz(
-                        regime=self.cz_regime, store=self.calibration_store,
-                        species=self.species, n_rydberg=self.n_rydberg)
-            else:
+            # load the shipped record first (default repo store): the
+            # in-process regeneration is a full Layer-0 channel
+            # extraction (~20 s of expm) and should only run for
+            # regimes without a committed record
+            store = self.calibration_store or CalibrationStore()
+            try:
+                self.cz_calibration = store.load(
+                    "neutral_atoms", "rydberg_cz", self.cz_regime)
+            except FileNotFoundError:
                 self.cz_calibration = calibrate_cz(
-                    regime=self.cz_regime, species=self.species,
-                    n_rydberg=self.n_rydberg)
+                    regime=self.cz_regime, store=self.calibration_store,
+                    species=self.species, n_rydberg=self.n_rydberg)
 
         # engine-driven Raman 1Q calibration (gate/raman_gate.py): load
         # from the store, else generate in-process (host expm on the
