@@ -635,13 +635,21 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
     # round-5 profile (examples/profile_bb.json): fast BP was 206 ms
     # of the 278 ms decode and the 2048-row retry 81 ms against a ~37-
     # shot actual tail — 6 fast iters + a 512-row retry keep the same
-    # exact-checked accuracy path at ~2/3 the device cost
+    # exact-checked accuracy path at ~2/3 the device cost. The lean
+    # budgets are sized for the benched p=1e-3 regime; above it the
+    # 6-iter tail outgrows them (measured p=2e-3: 1,325 non-converged
+    # of 65k > the shots//64 fetch cap, loud RuntimeError by design),
+    # so higher rates keep the round-4 budgets.
+    lean = p <= 1.5e-3
+    eff_iters = fast_iters if lean else max(fast_iters, 8)
     dec = DemBPDecoder(circuit, n_iters=60, kernel="slots",
-                       fast_iters=fast_iters, fast_dtype=jnp.bfloat16,
+                       fast_iters=eff_iters,
+                       fast_dtype=jnp.bfloat16,
                        retry_damping=0.5, retry_iters=90,
-                       retry_cap_divisor=128)
+                       retry_cap_divisor=128 if lean else 32)
     bits = jnp.arange(k, dtype=jnp.int32)
-    cap = min(shots, max(shots // 64, 32))   # residual-compaction rows
+    # residual-compaction rows (host-OSD fetch)
+    cap = min(shots, max(shots // (64 if lean else 16), 32))
 
     def e2e(key):
         o = sampler(key)
@@ -663,18 +671,26 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
     for _a in _w[2:5]:
         np_.asarray(_a[:RBLK])  # warm the fixed-shape residue fetch path
 
-    # RBLK: fixed residue fetch block — a varying [:nb] slice shape
-    #            recompiles per distinct nb on a tunneled backend
-    #            (measured ~0.5 s per fresh slice executable, 4.5 s of a
-    #            6.3 s run); top_k ordered bad rows FIRST, so [:RBLK]
-    #            covers the damped-retry residue (~24/rep) with margin,
-    #            and nb > RBLK falls back to the full cap block once
+    # Residue fetch blocks: a varying [:nb] slice shape recompiles per
+    # distinct nb on a tunneled backend (measured ~0.5 s per fresh
+    # slice executable), and fetching the FULL cap block for a partial
+    # residue pays the ~14 MB/s tunnel for dead rows (measured round 5:
+    # the p=2e-3 point dropped 67k -> 46k shots/s when the cap grew to
+    # shots//16 while the residue stayed ~950 rows). Power-of-two
+    # blocks bound the executable count at log2(cap/RBLK) while never
+    # fetching more than 2x the residue.
+
+    def _fetch_block(nb):
+        lim = RBLK
+        while lim < nb:
+            lim <<= 1
+        return min(lim, cap)
 
     def osd_host(nb, dets_r, bel_r, obs_r):
         """OSD-0 the residue rows; returns failures among them."""
         if nb == 0:
             return 0
-        lim = RBLK if nb <= RBLK else cap
+        lim = _fetch_block(nb)
         dets_h = np_.asarray(dets_r[:lim])[:nb]
         bel_h = np_.asarray(bel_r[:lim])[:nb]
         obs_h = np_.asarray(obs_r[:lim])[:nb]
@@ -716,7 +732,7 @@ def main_bb(rounds: int = 3, p: float = 1e-3, shots: int = 8192,
         "n_detectors": circuit.n_detectors,
         "n_mechanisms": dec.n_mech,
         "backend": jax.devices()[0].platform,
-        "decoder": (f"tiered slot-BP (min-sum {fast_iters} iters bf16 + "
+        "decoder": (f"tiered slot-BP (min-sum {eff_iters} iters bf16 + "
                     "damped min-sum 90-iter retry) + C++ OSD-0 on the "
                     "non-converged residue"),
         "e2e_p_logical_shot": fails / n_tot,

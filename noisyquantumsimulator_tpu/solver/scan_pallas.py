@@ -76,9 +76,17 @@ def _scan_kernel(u_ref, mult_ref, selre_ref, selim_ref, dphi_ref, v0_ref,
     sel_re = selre_ref[...]
     sel_im = selim_ref[...]
     v = v0_ref[...]                     # (R, n)
+    dph = dphi_ref[...]                 # (R, n_steps), carried + rolled
 
-    def body(k, v):
-        th = dphi_ref[:, pl.dslice(k, 1)]          # (R, 1)
+    n_lanes = dph.shape[1]
+
+    def body(_, carry):
+        v, dph = carry
+        # Mosaic cannot statically prove a DYNAMIC lane index aligned,
+        # so instead of dphi[:, k] the angle block is carried and lane-
+        # rolled LEFT by one column per step (static shift): column 0
+        # always holds the current step's angles
+        th = dph[:, 0:1]                           # (R, 1)
         ang = th * mult                            # (R, n)
         c = jnp.cos(ang)
         s = jnp.sin(ang)
@@ -87,12 +95,14 @@ def _scan_kernel(u_ref, mult_ref, selre_ref, selim_ref, dphi_ref, v0_ref,
         shr = pltpu.roll(v, P, 1)                  # re -> im positions
         partner = sel_im * shr - sel_re * shl
         vr = c * v + s * partner
-        return jax.lax.dot_general(
+        v = jax.lax.dot_general(
             vr, u, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
+        return v, pltpu.roll(dph, n_lanes - 1, 1)
 
-    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, v)
+    v, _ = jax.lax.fori_loop(0, n_steps, body, (v, dph))
+    out_ref[...] = v
 
 
 @partial(jax.jit, static_argnames=("D", "P", "block_rows", "interpret"))
